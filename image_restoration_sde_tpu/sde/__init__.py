@@ -1,0 +1,13 @@
+from .schedules import make_theta_schedule, ScheduleTables, build_tables
+from .irsde import IRSDE
+from .denoising_sde import DenoisingSDE
+from . import samplers
+
+__all__ = [
+    "make_theta_schedule",
+    "ScheduleTables",
+    "build_tables",
+    "IRSDE",
+    "DenoisingSDE",
+    "samplers",
+]
