@@ -1,0 +1,304 @@
+"""Shared network building blocks (Flax, NHWC).
+
+Functional parity with the reference module library
+(``codes/config/deraining/models/modules/module_util.py``), redesigned for
+TPU: NHWC layout so convolutions tile onto the MXU, channel-LayerNorm over
+the trailing axis, attention as batched einsums, and a ``dtype`` knob for
+bfloat16 compute with float32 parameters (norm statistics and softmax stay
+f32 for stability).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Transformer sinusoidal timestep embedding.
+
+    Ref: module_util.py:29-41 (SinusoidalPosEmb) — half sin, half cos with
+    log-spaced frequencies exp(-log(10000) * i / (half-1)).
+    """
+    t = jnp.asarray(t, dtype=jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    args = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """Random (or learned) Fourier features on the timestep.
+
+    Ref: module_util.py:44-59.  Output dim is ``dim + 1`` (raw t prepended).
+    """
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim % 2 == 0
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(1.0), (half,), jnp.float32)
+        if self.is_random:
+            w = jax.lax.stop_gradient(w)
+        t = jnp.asarray(t, jnp.float32)[:, None]
+        freqs = t * w[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Bias-free LayerNorm over the channel (trailing) axis.
+
+    Ref: module_util.py:70-79 — biased variance, scale-only affine, and a
+    dtype-dependent eps (1e-5 for f32 inputs, 1e-3 for half precision).
+    Statistics are always computed in float32.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + eps) * g
+        return out.astype(self.dtype)
+
+
+def conv(
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    use_bias: bool = False,
+    dtype: Dtype = jnp.float32,
+    padding="SAME",
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """3x3-style conv; the reference's ``default_conv`` is bias-free
+    (module_util.py:104-105), torch ``nn.Conv2d`` defaults to bias=True."""
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class Downsample(nn.Module):
+    """4x4 stride-2 conv (torch padding=1).  Ref: module_util.py:100-101."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.dim_out,
+            (4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv.  Ref: module_util.py:93-97."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(
+            self.dim_out,
+            (3, 3),
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC depth-to-space (torch PixelShuffle parity).
+
+    torch PixelShuffle on NCHW with C = r^2*c maps channel index (c, rh, rw);
+    with NHWC we reshape (..., rh, rw, c) accordingly.
+    """
+    B, H, W, C = x.shape
+    r = factor
+    c = C // (r * r)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, c)
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC space-to-depth (inverse of :func:`pixel_shuffle`)."""
+    B, H, W, C = x.shape
+    r = factor
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, H // r, W // r, C * r * r)
+
+
+class Block(nn.Module):
+    """conv -> (optional scale/shift) -> SiLU.  Ref: module_util.py:108-122."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        x = conv(self.dim_out, 3, dtype=self.dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResBlock(nn.Module):
+    """Two conv blocks with AdaLN-style time scale/shift on the first.
+
+    Ref: module_util.py:125-146.
+    """
+
+    dim_out: int
+    time_emb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb: Optional[jnp.ndarray] = None):
+        scale_shift = None
+        if self.time_emb and time_emb is not None:
+            t = nn.silu(time_emb.astype(self.dtype))
+            t = nn.Dense(self.dim_out * 2, dtype=self.dtype, param_dtype=jnp.float32)(t)
+            t = t[:, None, None, :]
+            scale_shift = jnp.split(t, 2, axis=-1)
+
+        h = Block(self.dim_out, dtype=self.dtype)(x, scale_shift=scale_shift)
+        h = Block(self.dim_out, dtype=self.dtype)(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = conv(self.dim_out, 1, dtype=self.dtype)(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Efficient channel ("linear") attention.
+
+    Ref: module_util.py:150-178 — softmax(q) over the head-channel axis,
+    softmax(k) over the spatial axis, context = k v^T reduced over space,
+    out = context^T q; 1x1-conv projections, LayerNorm on the output.
+    The einsums are MXU-friendly batched matmuls; softmax runs in f32.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        N = H * W
+        hidden = self.heads * self.dim_head
+        qkv = conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+        v = v.astype(jnp.float32) / N
+
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # reduce over space
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(B, H, W, hidden).astype(self.dtype)
+
+        out = nn.Conv(
+            self.dim, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32
+        )(out)
+        return ChannelLayerNorm(self.dim, dtype=self.dtype)(out)
+
+
+class Attention(nn.Module):
+    """Full spatial self-attention.  Ref: module_util.py:182-204."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        N = H * W
+        hidden = self.heads * self.dim_head
+        qkv = conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        q = q.astype(jnp.float32) * (self.dim_head**-0.5)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k.astype(jnp.float32))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32))
+        out = out.reshape(B, H, W, hidden).astype(self.dtype)
+        return nn.Conv(
+            self.dim, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32
+        )(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(LayerNorm(x)) — the reference's Residual(PreNorm(...)) pair.
+
+    Ref: module_util.py:20-26, 82-90.
+    """
+
+    dim: int
+    fn: Callable
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return self.fn(ChannelLayerNorm(self.dim, dtype=self.dtype)(x)) + x
+
+
+def check_image_size(x: jnp.ndarray, multiple: int, mode: str = "reflect") -> jnp.ndarray:
+    """Pad H/W (bottom/right) to a multiple of ``multiple``.
+
+    Ref: DenoisingUNet_arch.py:78-83 (reflect) and
+    DenoisingNAFNet_arch.py:183-188 (zeros).  Shapes are static under jit, so
+    this is resolved at trace time.
+    """
+    B, H, W, C = x.shape
+    pad_h = (multiple - H % multiple) % multiple
+    pad_w = (multiple - W % multiple) % multiple
+    if pad_h == 0 and pad_w == 0:
+        return x
+    pad = [(0, 0), (0, pad_h), (0, pad_w), (0, 0)]
+    return jnp.pad(x, pad, mode=mode if mode != "zeros" else "constant")
+
+
+def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
+    """Split channels in half and multiply.  Ref: DenoisingNAFNet_arch.py:9-12."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2

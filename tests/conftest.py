@@ -17,3 +17,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# CPU convs default to bf16 passes; tests need f32 numerics
+jax.config.update("jax_default_matmul_precision", "highest")
