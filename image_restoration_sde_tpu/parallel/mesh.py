@@ -1,0 +1,61 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's process-per-GPU DDP stack (torch.distributed +
+NCCL allreduce + DistIterSampler, ref train.py:28-40, denoising_model.py:37-42,
+data/data_sampler.py) with single-controller JAX: one ``Mesh`` with
+``(data, model)`` axes, batch arrays sharded over ``data``, parameters
+replicated (or channel-sharded over ``model`` for the tensor-parallel path),
+and XLA-inserted collectives over ICI.
+
+No user-level collective code: the jitted train step carries sharding
+annotations and GSPMD schedules the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+    axis_names: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Mesh over all (or given) devices: (n//model_parallel, model_parallel)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batches shard over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays onto the mesh, batch-dim sharded over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def process_is_primary() -> bool:
+    """Rank-0 gating equivalent (ref train.py:95,170,261,305)."""
+    return jax.process_index() == 0

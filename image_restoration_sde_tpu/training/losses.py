@@ -1,0 +1,30 @@
+"""Training losses.
+
+Parity: ``codes/config/deraining/models/modules/loss.py:9-29`` (MatchingLoss)
+— elementwise L1/L2 reduced to a per-sample mean, optionally multiplied by
+per-sample timestep weights, then averaged over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def matching_loss(
+    predict: jnp.ndarray,
+    target: jnp.ndarray,
+    loss_type: str = "l1",
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    if loss_type == "l1":
+        per_elem = jnp.abs(predict - target)
+    elif loss_type == "l2":
+        per_elem = (predict - target) ** 2
+    else:
+        raise ValueError(f"invalid loss type {loss_type!r}")
+    per_sample = per_elem.reshape(per_elem.shape[0], -1).mean(axis=1)
+    if weights is not None:
+        per_sample = weights.reshape(-1) * per_sample
+    return per_sample.mean()
