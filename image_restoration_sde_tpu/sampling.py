@@ -1,0 +1,90 @@
+"""High-level restoration sampling API.
+
+Replaces the reference's ``DenoisingModel.test`` dispatch
+(ref denoising_model.py:150-160): start from the noised LQ
+(``noise_state``), run the chosen reverse sampler, one jitted XLA program
+for the full chain.
+
+Dynamic test-time image sizes are handled by bucketed reflect padding
+(``pad_to_bucket`` / ``unpad``): XLA wants static shapes, so shapes are
+rounded up to a bucket multiple, and each bucket compiles once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sde import IRSDE, samplers
+from .sde.denoising_sde import DenoisingSDE
+
+SAMPLING_MODES = ("sde", "posterior", "ode")
+
+
+def make_restoration_sampler(
+    sde: IRSDE,
+    apply_fn: Callable,  # (params, xt, cond, tvec) -> noise
+    mode: str = "posterior",
+    steps: Optional[int] = None,
+) -> Callable:
+    """Returns jitted ``sample(params, lq, key) -> restored`` (NHWC)."""
+    if mode not in SAMPLING_MODES:
+        raise ValueError(f"sampling mode {mode!r}; options: {SAMPLING_MODES}")
+
+    @jax.jit
+    def sample(params, lq, key):
+        k_init, k_chain = jax.random.split(key)
+        noisy = sde.noise_state(k_init, lq)
+
+        def noise_fn(x, mu, tvec):
+            return apply_fn(params, x, mu, tvec)
+
+        if mode == "sde":
+            return samplers.reverse_sde(sde, noise_fn, noisy, lq, k_chain, steps=steps)
+        if mode == "posterior":
+            return samplers.reverse_posterior(sde, noise_fn, noisy, lq, k_chain, steps=steps)
+        return samplers.reverse_ode(sde, noise_fn, noisy, lq, steps=steps)
+
+    return sample
+
+
+def make_denoising_sampler(
+    sde: DenoisingSDE,
+    apply_fn: Callable,  # (params, x, tvec) -> noise
+    sigma: float,
+) -> Callable:
+    """Denoising task: start the reverse ODE at the optimal timestep for the
+    input noise level (ref config/denoising-sde/models/denoising_model.py:162-170)."""
+    t0 = int(np.asarray(sde.get_optimal_timestep(sigma)))
+
+    @jax.jit
+    def sample(params, noisy):
+        def noise_fn(x, tvec):
+            return apply_fn(params, x, tvec)
+
+        return samplers.dsde_reverse_ode(sde, noise_fn, noisy, steps=t0)
+
+    return sample
+
+
+# ------------------------------------------------- dynamic-shape bucketing
+def pad_to_bucket(
+    img: np.ndarray, multiple: int = 64
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Reflect-pad NHWC (bottom/right) to a bucket multiple; returns the
+    original (H, W) for cropping back."""
+    H, W = img.shape[1:3]
+    ph = (multiple - H % multiple) % multiple
+    pw = (multiple - W % multiple) % multiple
+    if ph or pw:
+        img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return img, (H, W)
+
+
+def unpad(img: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    H, W = hw
+    return img[:, :H, :W, :]
