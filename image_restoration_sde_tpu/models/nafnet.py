@@ -1,0 +1,139 @@
+"""ConditionalNAFNet score network (Flax, NHWC) — Refusion's backbone.
+
+Functional parity with the reference
+(``codes/config/deraining/models/modules/DenoisingNAFNet_arch.py:15-188``):
+NAFBlocks (1x1 expand -> 3x3 depthwise -> SimpleGate -> simplified channel
+attention -> 1x1 project, then a SimpleGate FFN; AdaLN-style time
+scale/shift on both branches; learned per-channel beta/gamma residual
+scales), 2x2 stride-2 conv downsamples, PixelShuffle upsamples with
+*additive* skips, and a SimpleGate time MLP.
+
+Module names here (enc{i}_block{b}, down{i}, mid_block{b}, up{i},
+dec{i}_block{b}, conv1..conv5, sca_conv, norm1/2) are the contract for the
+torch checkpoint importer (utils/torch_import.nafnet_key_rules).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import (
+    ChannelLayerNorm,
+    check_image_size,
+    pixel_shuffle,
+    simple_gate,
+    sinusoidal_pos_emb,
+)
+
+
+def _conv(features, kernel, name, use_bias=True, stride=1, groups=1, dtype=jnp.float32):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding="SAME" if stride == 1 else ((0, 0), (0, 0)),
+        use_bias=use_bias,
+        feature_group_count=groups,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class NAFBlock(nn.Module):
+    """Ref: DenoisingNAFNet_arch.py:15-84."""
+
+    c: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        c, dtype = self.c, self.dtype
+        dw = c * self.dw_expand
+
+        # time modulation: SimpleGate on temb then Dense -> 4 chunks
+        t = simple_gate(temb.astype(dtype))
+        t = nn.Dense(c * 4, dtype=dtype, param_dtype=jnp.float32)(t)[:, None, None, :]
+        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(t, 4, axis=-1)
+
+        inp = x
+        x = ChannelLayerNorm(c, dtype=dtype, name="norm1")(x)
+        x = x * (scale_att + 1.0) + shift_att
+        x = _conv(dw, 1, "conv1", dtype=dtype)(x)
+        x = _conv(dw, 3, "conv2", groups=dw, dtype=dtype)(x)
+        x = simple_gate(x)
+        # simplified channel attention: global pool -> 1x1 conv -> scale
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x = x * _conv(dw // 2, 1, "sca_conv", dtype=dtype)(pooled)
+        x = _conv(c, 1, "conv3", dtype=dtype)(x)
+
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        y = inp + x * beta
+
+        x = ChannelLayerNorm(c, dtype=dtype, name="norm2")(y)
+        x = x * (scale_ffn + 1.0) + shift_ffn
+        x = _conv(self.ffn_expand * c, 1, "conv4", dtype=dtype)(x)
+        x = simple_gate(x)
+        x = _conv(c, 1, "conv5", dtype=dtype)(x)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (c,), jnp.float32)
+        return y + x * gamma
+
+
+class ConditionalNAFNet(nn.Module):
+    """Args mirror the reference ctor (DenoisingNAFNet_arch.py:89)."""
+
+    img_channel: int = 3
+    width: int = 16
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = ()
+    dec_blk_nums: Sequence[int] = ()
+    upscale: int = 1  # config parity; unused
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray, cond: jnp.ndarray, time) -> jnp.ndarray:
+        B, H, W, _ = inp.shape
+        time = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1), (B,))
+        dtype = self.dtype
+
+        # time MLP: sinusoidal(width) -> Dense(8*width) -> SimpleGate -> Dense(4*width)
+        time_dim = self.width * 4
+        t = sinusoidal_pos_emb(time, self.width)
+        t = nn.Dense(time_dim * 2, param_dtype=jnp.float32, name="time_mlp_1")(t)
+        t = simple_gate(t)
+        t = nn.Dense(time_dim, param_dtype=jnp.float32, name="time_mlp_2")(t)
+
+        x = jnp.concatenate([inp - cond, cond], axis=-1)
+        x = check_image_size(x, 2 ** len(self.enc_blk_nums), mode="zeros")
+        x = x.astype(dtype)
+
+        x = _conv(self.width, 3, "intro", dtype=dtype)(x)
+
+        skips = []
+        chan = self.width
+        for i, num in enumerate(self.enc_blk_nums):
+            for b in range(num):
+                x = NAFBlock(chan, dtype=dtype, name=f"enc{i}_block{b}")(x, t)
+            skips.append(x)
+            x = _conv(2 * chan, 2, f"down{i}", stride=2, dtype=dtype)(x)
+            chan *= 2
+
+        for b in range(self.middle_blk_num):
+            x = NAFBlock(chan, dtype=dtype, name=f"mid_block{b}")(x, t)
+
+        for i, num in enumerate(self.dec_blk_nums):
+            x = _conv(2 * chan, 1, f"up{i}", use_bias=False, dtype=dtype)(x)
+            x = pixel_shuffle(x, 2)
+            chan //= 2
+            x = x + skips[-(i + 1)]
+            for b in range(num):
+                x = NAFBlock(chan, dtype=dtype, name=f"dec{i}_block{b}")(x, t)
+
+        x = _conv(self.img_channel, 3, "ending", dtype=dtype)(x)
+        return x[:, :H, :W, :].astype(jnp.float32)

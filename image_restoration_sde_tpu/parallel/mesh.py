@@ -59,3 +59,28 @@ def replicate(tree, mesh: Mesh):
 def process_is_primary() -> bool:
     """Rank-0 gating equivalent (ref train.py:95,170,261,305)."""
     return jax.process_index() == 0
+
+
+def shape_based_tp_sharding(tree, mesh: Mesh, min_last: int = 64):
+    """Megatron-style column sharding by shape rule: any leaf whose trailing
+    axis is divisible by the ``model`` mesh size and at least ``min_last``
+    shards that axis over MODEL_AXIS; everything else replicates.
+
+    Applied uniformly to params / EMA / optimizer moments (moments share
+    their param's shape, so the rule keeps them aligned); XLA/GSPMD inserts
+    the activation collectives.
+    """
+    msize = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if msize > 1 and len(shape) >= 1 and shape[-1] >= min_last and shape[-1] % msize == 0:
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_tree(tree, shardings):
+    return jax.tree.map(jax.device_put, tree, shardings)

@@ -1,0 +1,155 @@
+"""Refusion latent-space training: compressor pre-training and latent
+diffusion with a frozen compressor.
+
+Parity:
+
+- ``make_compressor_train_step``: the cross-reconstruction objective of the
+  unet-latent ``LatentModel`` (ref latent_model.py:141-170):
+  ``loss_rec = ||dec(enc(LQ).lat, skips_LQ) - LQ||``,
+  ``loss_rep = ||dec(enc(GT).lat, skips_LQ) - GT||``  (GT latent decoded
+  with LQ skips — forces the latent to carry the restoration signal),
+  ``loss_reg = |mean(L_lq) - mean(LQ)| + |std(L_lq) - 0.5 std(LQ)|``,
+  total = rec + rep + 0.001 reg.
+- ``make_latent_train_step``: the latent-dehazing/bokeh ``DenoisingModel``
+  (ref latent_denoising_model.py:154-176): encode LQ/GT through the FROZEN
+  compressor, then the same IR-SDE maximum-likelihood objective on the
+  latents; sampling reverses the SDE in latent space and decodes with the
+  LQ skips (latent_denoising_model.py:177-191).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..sde.irsde import IRSDE
+from . import ema as ema_lib
+from .ema import EmaConfig
+from .losses import matching_loss
+from .trainer import TrainState
+
+
+def make_compressor_train_step(
+    encode_fn: Callable,  # (params, x) -> (latent, skips)
+    decode_fn: Callable,  # (params, latent, skips) -> recon
+    tx: optax.GradientTransformation,
+    loss_type: str = "l1",
+    weight: float = 1.0,
+    reg_weight: float = 0.001,
+) -> Callable:
+    """(state, lq, gt, key) -> (state, metrics) — no EMA (ref has none for
+    the compressor trainer)."""
+
+    def train_step(state: TrainState, lq, gt, key):
+        def loss_fn(params):
+            l_lq, h_lq = encode_fn(params, lq)
+            l_gt, _h_gt = encode_fn(params, gt)
+            rec_llq_hlq = decode_fn(params, l_lq, h_lq)
+            rec_lgt_hlq = decode_fn(params, l_gt, h_lq)
+            loss_rec = matching_loss(rec_llq_hlq, lq, loss_type)
+            loss_rep = matching_loss(rec_lgt_hlq, gt, loss_type)
+            loss_reg = jnp.abs(l_lq.mean() - lq.mean()) + jnp.abs(
+                l_lq.std() - lq.std() * 0.5
+            )
+            total = weight * (loss_rec + loss_rep + reg_weight * loss_reg)
+            return total, {
+                "loss": total,
+                "loss_rec": loss_rec,
+                "loss_rep": loss_rep,
+                "loss_reg": loss_reg,
+            }
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_state = ema_lib.update(state.ema, params)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state, ema=ema_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_latent_train_step(
+    sde: IRSDE,
+    model_apply: Callable,  # (params, xt, cond, tvec) -> noise (latent-space)
+    encode_fn: Callable,  # (latent_params, x) -> (latent, skips); FROZEN
+    latent_params: Any,
+    tx: optax.GradientTransformation,
+    loss_type: str = "l1",
+    is_weighted: bool = False,
+    weight: float = 1.0,
+    ema_cfg: EmaConfig = EmaConfig(),
+) -> Callable:
+    """(state, lq, gt, key) -> (state, metrics): diffusion on latents.
+
+    The compressor's params are closed over with stop_gradient (parity with
+    requires_grad=False, ref latent_denoising_model.py:39-43).
+    """
+    frozen = jax.lax.stop_gradient(latent_params)
+
+    def train_step(state: TrainState, lq, gt, key):
+        key = jax.random.fold_in(key, state.step)
+        latent_lq, _ = encode_fn(frozen, lq)
+        latent_gt, _ = encode_fn(frozen, gt)
+        latent_lq = jax.lax.stop_gradient(latent_lq)
+        latent_gt = jax.lax.stop_gradient(latent_gt)
+        timesteps, xt = sde.generate_random_states(key, latent_gt, latent_lq)
+        tvec = timesteps.reshape(-1)
+
+        def loss_fn(params):
+            noise = model_apply(params, xt, latent_lq, tvec)
+            score = sde.score_from_noise(noise, timesteps)
+            pred = sde.reverse_sde_step_mean(xt, latent_lq, score, timesteps)
+            target = sde.reverse_optimum_step(xt, latent_gt, latent_lq, timesteps)
+            w = sde.weights(tvec) if is_weighted else None
+            return weight * matching_loss(pred, target, loss_type, w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_state = ema_lib.update(state.ema, params, ema_cfg)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state, ema=ema_state),
+            {"loss": loss},
+        )
+
+    return train_step
+
+
+def make_latent_sampler(
+    sde: IRSDE,
+    model_apply: Callable,  # (params, xt, cond, tvec) -> noise
+    encode_fn: Callable,  # (latent_params, x) -> (latent, skips)
+    decode_fn: Callable,  # (latent_params, latent, skips) -> image
+    latent_params: Any,
+    mode: str = "sde",
+    steps: Optional[int] = None,
+):
+    """jitted ``sample(params, lq, key) -> restored image``: encode LQ,
+    noise the latent, reverse-diffuse, decode with the LQ skips."""
+    from ..sde import samplers
+
+    @jax.jit
+    def sample(params, lq, key):
+        latent_lq, hidden = encode_fn(latent_params, lq)
+        k_init, k_chain = jax.random.split(key)
+        noisy = sde.noise_state(k_init, latent_lq)
+
+        def noise_fn(x, mu, tvec):
+            return model_apply(params, x, mu, tvec)
+
+        if mode == "sde":
+            latent = samplers.reverse_sde(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
+        elif mode == "posterior":
+            latent = samplers.reverse_posterior(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
+        else:
+            latent = samplers.reverse_ode(sde, noise_fn, noisy, latent_lq, steps=steps)
+        H, W = lq.shape[1], lq.shape[2]
+        return decode_fn(latent_params, latent, hidden)[:, :H, :W, :]
+
+    return sample

@@ -194,3 +194,50 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             k = k[7:]
         out[k] = v.detach().numpy()
     return out
+
+
+def latent_unet_key_rules(depth: int = 4) -> Dict[str, Rule]:
+    """flax path -> torch key for the latent compressor UNet (UNet_arch.py:17-97).
+
+    torch ``decoder`` was built with insert(0), so torch index k maps to
+    level depth-1-k.
+    """
+    rules: Dict[str, Rule] = {
+        "init_conv/kernel": ("init_conv.weight", _conv_w),
+        "latent_conv/kernel": ("latent_conv.weight", _conv_w),
+        "post_latent_conv/kernel": ("post_latent_conv.weight", _conv_w),
+        "final_conv/kernel": ("final_conv.weight", _conv_w),
+        "final_conv/bias": ("final_conv.bias", _ident),
+    }
+    for i in range(depth):
+        rules.update(_resblock_rules_nt(f"encoder.{i}.0", f"enc{i}_block1", False))
+        rules.update(_resblock_rules_nt(f"encoder.{i}.1", f"enc{i}_block2", False))
+        if i == depth - 1:
+            rules.update(_linear_attn_rules(f"encoder.{i}.2", f"enc{i}_attn", f"enc{i}_attn_wrap"))
+            rules[f"enc{i}_down/kernel"] = (f"encoder.{i}.3.weight", _conv_w)
+        else:
+            rules[f"enc{i}_down/Conv_0/kernel"] = (f"encoder.{i}.3.weight", _conv_w)
+            rules[f"enc{i}_down/Conv_0/bias"] = (f"encoder.{i}.3.bias", _ident)
+
+        k = depth - 1 - i  # torch decoder index for our level i
+        rules.update(_resblock_rules_nt(f"decoder.{k}.0", f"dec{i}_block1", True))
+        rules.update(_resblock_rules_nt(f"decoder.{k}.1", f"dec{i}_block2", True))
+        if i == depth - 1:
+            rules.update(_linear_attn_rules(f"decoder.{k}.2", f"dec{i}_attn", f"dec{i}_attn_wrap"))
+        if i == 0:
+            rules[f"dec{i}_up/kernel"] = (f"decoder.{k}.3.weight", _conv_w)
+        else:
+            rules[f"dec{i}_up/Conv_0/kernel"] = (f"decoder.{k}.3.1.weight", _conv_w)
+            rules[f"dec{i}_up/Conv_0/bias"] = (f"decoder.{k}.3.1.bias", _ident)
+    return rules
+
+
+def _resblock_rules_nt(torch_prefix: str, flax_prefix: str, has_res_conv: bool) -> Dict[str, Rule]:
+    """ResBlock without time MLP (latent compressor blocks)."""
+    rules = {
+        f"{flax_prefix}/Block_0/Conv_0/kernel": (f"{torch_prefix}.block1.proj.weight", _conv_w),
+        f"{flax_prefix}/Block_1/Conv_0/kernel": (f"{torch_prefix}.block2.proj.weight", _conv_w),
+    }
+    if has_res_conv:
+        rules[f"{flax_prefix}/Conv_0/kernel"] = (f"{torch_prefix}.res_conv.weight", _conv_w)
+    return rules
