@@ -94,6 +94,7 @@ class ConditionalNAFNet(nn.Module):
     enc_blk_nums: Sequence[int] = ()
     dec_blk_nums: Sequence[int] = ()
     upscale: int = 1  # config parity; unused
+    conditional: bool = True  # False = denoising-sde variant (no LQ concat)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,7 +110,10 @@ class ConditionalNAFNet(nn.Module):
         t = simple_gate(t)
         t = nn.Dense(time_dim, param_dtype=jnp.float32, name="time_mlp_2")(t)
 
-        x = jnp.concatenate([inp - cond, cond], axis=-1)
+        if self.conditional:
+            x = jnp.concatenate([inp - cond, cond], axis=-1)
+        else:
+            x = inp
         x = check_image_size(x, 2 ** len(self.enc_blk_nums), mode="zeros")
         x = x.astype(dtype)
 

@@ -39,6 +39,8 @@ class ConditionalUNet(nn.Module):
     nf: int = 64
     depth: int = 4
     upscale: int = 1  # kept for config parity; unused (ref: arch.py:23)
+    conditional: bool = True  # False = denoising-sde variant: forward(x, t),
+    # no LQ concat (ref config/denoising-sde/models/modules/DenoisingUNet_arch.py:84-95)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,7 +48,10 @@ class ConditionalUNet(nn.Module):
         B, H, W, _ = xt.shape
         time = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1), (B,))
 
-        x = jnp.concatenate([xt - cond, cond], axis=-1)
+        if self.conditional:
+            x = jnp.concatenate([xt - cond, cond], axis=-1)
+        else:
+            x = xt
         x = check_image_size(x, 2**self.depth, mode="reflect")
         x = x.astype(self.dtype)
 

@@ -3,7 +3,9 @@
 
 Parity: ref ``config/<task>/test.py:70-219`` — batch-1 sweep over each test
 set, save output/LQ/GT PNGs, report PSNR/SSIM (+Y-channel variants), LPIPS
-when the ``lpips`` package is available, and per-image wall time.
+when the ``lpips`` package is available, and per-image wall time.  The task
+runner (pixel / gaussian-denoising / compressor / latent diffusion) is
+selected by the YAML like in training.
 
 CLI parity: python tools/test.py -opt=<yml>
 """
@@ -24,19 +26,18 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
 )
-import jax.numpy as jnp
+# sitecustomize clobbers JAX_PLATFORMS; IRSDE_PLATFORM=cpu forces CPU here
+if os.environ.get("IRSDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
 from image_restoration_sde_tpu.data.io_utils import save_img
-from image_restoration_sde_tpu.models import build_network
-from image_restoration_sde_tpu.sampling import make_restoration_sampler, pad_to_bucket, unpad
-from image_restoration_sde_tpu.sde import IRSDE
-from image_restoration_sde_tpu.training.checkpoint import load_params
-from image_restoration_sde_tpu.utils import metrics, options, tensor2img
-from image_restoration_sde_tpu.utils.degradations import upscale
-from image_restoration_sde_tpu.utils.logging_utils import mkdirs, setup_logger
 from image_restoration_sde_tpu.data.transforms import rgb2ycbcr
+from image_restoration_sde_tpu.parallel import make_mesh
+from image_restoration_sde_tpu.runners import build_task
+from image_restoration_sde_tpu.utils import metrics, options, tensor2img
+from image_restoration_sde_tpu.utils.logging_utils import mkdirs, setup_logger
 
 
 def try_lpips():
@@ -70,61 +71,44 @@ def main():
     logger = logging.getLogger("base")
     logger.info(options.dict2str(opt))
 
-    which, setting = options.network_setting(opt)
-    net = build_network(which, setting)
-    sde_opt = opt["sde"]
-    sde = IRSDE.create(
-        max_sigma=sde_opt["max_sigma"], T=int(sde_opt["T"]),
-        schedule=sde_opt["schedule"], eps=float(sde_opt["eps"]),
-    )
-    mode = sde_opt["sampling_mode"] or "posterior"
-    steps = int(sde_opt["sample_T"]) if sde_opt["sample_T"] else None
-    sampler = make_restoration_sampler(sde, net.apply, mode=mode, steps=steps)
-
-    in_nc = int(setting.get("in_nc") or setting.get("img_channel") or 3)
-    dummy = jnp.zeros((1, 64, 64, in_nc), jnp.float32)
-    params = jax.jit(net.init)(jax.random.PRNGKey(0), dummy, dummy, jnp.array([1.0]))
-    load_path = opt["path"]["pretrain_model_G"]
-    if not load_path:
-        raise ValueError("path.pretrain_model_G is required for testing")
-    logger.info(f"Loading model [{load_path}]")
-    params = load_params(load_path, params)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(opt["seed"] or 0)
+    task = build_task(opt, mesh, int(opt["seed"] or 0), key)
+    if not (opt["path"]["pretrain_model_G"] or opt["path"]["pretrain_model_L"]):
+        raise ValueError("path.pretrain_model_G (or _L) is required for testing")
+    task.maybe_load_pretrained(resume=False)
+    params = task.state.params
 
     lpips_fn = try_lpips()
-    key = jax.random.PRNGKey(opt["seed"] or 0)
+    suffix = opt["suffix"] or ""
 
     for phase, dataset_opt in opt["datasets"].items():
         test_set = create_dataset(dataset_opt)
         test_loader = create_dataloader(test_set, dataset_opt, opt)
         name = dataset_opt["name"]
-        logger.info(f"Testing [{name}] : {len(test_set)} images, mode={mode}")
+        logger.info(f"Testing [{name}] : {len(test_set)} images")
         out_dir = os.path.join(opt["path"]["results_root"], name)
         mkdirs(out_dir)
 
         sums = dict(psnr=0.0, ssim=0.0, psnr_y=0.0, ssim_y=0.0, lpips=0.0, time=0.0)
-        n = 0
+        n, n_lpips = 0, 0
         for i, batch in enumerate(test_loader):
             has_gt = "GT" in batch
-            lq = batch["LQ"]
-            if opt["distortion"] == "sr":
-                lq = upscale(lq, int(opt["degradation"]["scale"]))
-            base = os.path.splitext(os.path.basename(batch["LQ_path"][0]))[0]
+            path_key = "LQ_path" if "LQ_path" in batch else "GT_path"
+            base = os.path.splitext(os.path.basename(batch[path_key][0]))[0] + suffix
 
-            vlq, hw = pad_to_bucket(lq, 64)
             t0 = time.perf_counter()
-            out = unpad(sampler(params, jnp.asarray(vlq), jax.random.fold_in(key, i)), hw)
-            out.block_until_ready()
+            out, lq_used = task.infer(params, batch, jax.random.fold_in(key, i))
             dt = time.perf_counter() - t0
 
             out_img = tensor2img(out[0])
-            lq_img = tensor2img(lq[0])
             save_img(out_img, os.path.join(out_dir, f"{base}.png"))
-            save_img(lq_img, os.path.join(out_dir, f"{base}_LQ.png"))
+            save_img(tensor2img(lq_used[0]), os.path.join(out_dir, f"{base}_LQ.png"))
 
             if has_gt:
                 gt_img = tensor2img(batch["GT"][0])
                 save_img(gt_img, os.path.join(out_dir, f"{base}_GT.png"))
-                crop = int(opt["crop_border"] or opt["scale"] or 0)
+                crop = int(opt["crop_border"] or 0)
                 o, g = out_img, gt_img
                 if crop:
                     o, g = o[crop:-crop, crop:-crop], g[crop:-crop, crop:-crop]
@@ -134,26 +118,30 @@ def main():
                 gy = rgb2ycbcr(g.astype(np.float64) / 255.0, only_y=True) * 255
                 psnr_y = metrics.calculate_psnr(oy, gy)
                 ssim_y = metrics.calculate_ssim(oy, gy)
-                lp = lpips_fn(o, g) if lpips_fn else float("nan")
+                lp = lpips_fn(o, g) if lpips_fn else None
                 sums["psnr"] += psnr
                 sums["ssim"] += ssim
                 sums["psnr_y"] += psnr_y
                 sums["ssim_y"] += ssim_y
-                sums["lpips"] += 0.0 if np.isnan(lp) else lp
+                if lp is not None:
+                    sums["lpips"] += lp
+                    n_lpips += 1
                 sums["time"] += dt
                 n += 1
+                lp_str = f"{lp:.4f}" if lp is not None else "n/a"
                 logger.info(
                     f"{i+1:3d} - {base:20s} | PSNR {psnr:.4f} SSIM {ssim:.4f} | "
-                    f"PSNR-Y {psnr_y:.4f} SSIM-Y {ssim_y:.4f} | LPIPS {lp:.4f} | {dt:.2f}s"
+                    f"PSNR-Y {psnr_y:.4f} SSIM-Y {ssim_y:.4f} | LPIPS {lp_str} | {dt:.2f}s"
                 )
             else:
                 logger.info(f"{i+1:3d} - {base:20s} | (no GT) | {dt:.2f}s")
 
         if n:
+            lp_avg = f"{sums['lpips']/n_lpips:.4f}" if n_lpips else "n/a"
             logger.info(
                 f"--- [{name}] avg over {n}: PSNR {sums['psnr']/n:.4f} SSIM {sums['ssim']/n:.4f} "
                 f"PSNR-Y {sums['psnr_y']/n:.4f} SSIM-Y {sums['ssim_y']/n:.4f} "
-                f"LPIPS {sums['lpips']/n:.4f} time/img {sums['time']/n:.3f}s"
+                f"LPIPS {lp_avg} time/img {sums['time']/n:.3f}s"
             )
 
 

@@ -2,20 +2,19 @@
 """Unified training driver.
 
 Replaces the reference's 11 near-identical per-task ``train.py`` copies
-(ref config/<task>/train.py:43-315) with one driver: the task is selected by
-the YAML (``model`` / ``distortion``) and per-task deltas are degradation
-plugins (ref §3.4 — denoising/inpainting/sr synthesize LQ in the loop).
+(ref config/<task>/train.py:43-315) with one driver: the YAML ``model`` /
+``distortion`` keys select a task runner (image_restoration_sde_tpu.runners)
+and per-task deltas are degradation/conditioning plugins.
 
 CLI parity:  python tools/train.py -opt=<yml>   (``--launcher`` accepted and
-ignored — JAX is single-controller; multi-host comes from
-``jax.distributed.initialize`` via env, not a launcher).
+ignored -- JAX is single-controller; multi-host init comes from the
+environment, not a process launcher).
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
-import math
 import os
 import random
 import sys
@@ -29,47 +28,26 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
 )
-import jax.numpy as jnp
+# sitecustomize clobbers JAX_PLATFORMS; IRSDE_PLATFORM=cpu forces CPU here
+if os.environ.get("IRSDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
-from image_restoration_sde_tpu.models import build_network
-from image_restoration_sde_tpu.parallel import make_mesh, process_is_primary, replicate, shard_batch
-from image_restoration_sde_tpu.sampling import make_restoration_sampler, pad_to_bucket, unpad
-from image_restoration_sde_tpu.sde import IRSDE
-from image_restoration_sde_tpu.training import (
-    build_lr_schedule,
-    create_train_state,
-    make_train_step,
-)
+from image_restoration_sde_tpu.parallel import make_mesh, process_is_primary, replicate
+from image_restoration_sde_tpu.runners import build_task
 from image_restoration_sde_tpu.training.checkpoint import (
     finalize_checkpoints,
-    load_params,
     load_training_state,
     save_checkpoint,
 )
-from image_restoration_sde_tpu.training.optimizers import build_from_options
-from image_restoration_sde_tpu.utils import metrics, options, tensor2img
-from image_restoration_sde_tpu.utils.degradations import mask_to, upscale
+from image_restoration_sde_tpu.utils import options
 from image_restoration_sde_tpu.utils.logging_utils import (
     TensorboardWriter,
     mkdir_and_rename,
     mkdirs,
     setup_logger,
 )
-
-
-def prepare_pair(opt, batch, rng):
-    """Per-distortion LQ/GT preparation (ref §3.4 task deltas)."""
-    distortion = opt.get("distortion")
-    if distortion == "inpainting":
-        gt = batch["GT"]
-        lq = mask_to(gt, opt["degradation"]["mask_root"], rng=rng).astype(np.float32)
-        return lq, gt
-    if distortion == "sr":
-        lq = upscale(batch["LQ"], int(opt["degradation"]["scale"]))
-        return lq.astype(np.float32), batch["GT"]
-    return batch["LQ"], batch["GT"]
 
 
 def main():
@@ -80,7 +58,6 @@ def main():
     args = parser.parse_args()
     opt = options.parse(args.opt, is_train=True)
 
-    # resume state (ref train.py:83-92)
     resume_state_path = opt["path"].get("resume_state")
     if resume_state_path:
         options.check_resume(opt, int(os.path.basename(resume_state_path)))
@@ -100,9 +77,15 @@ def main():
     logger_val = logging.getLogger("val")
     if rank0:
         logger.info(options.dict2str(opt))
-    tb = TensorboardWriter(os.path.join(opt["path"]["experiments_root"], "tb_logger")) if rank0 and opt["use_tb_logger"] else None
+    tb = (
+        TensorboardWriter(os.path.join(opt["path"]["experiments_root"], "tb_logger"))
+        if rank0 and opt["use_tb_logger"]
+        else None
+    )
 
-    seed = opt["train"]["manual_seed"] or random.randint(1, 10000)
+    seed = opt["train"]["manual_seed"]
+    if seed is None:
+        seed = random.randint(1, 10000)
     logger.info(f"Random seed: {seed}")
     np.random.seed(seed)
     random.seed(seed)
@@ -111,6 +94,7 @@ def main():
     # ---------------------------------------------------------------- data
     train_loader = val_loader = None
     total_iters = int(opt["train"]["niter"])
+    steps_per_epoch = 1
     for phase, dataset_opt in opt["datasets"].items():
         if phase == "train":
             train_set = create_dataset(dataset_opt)
@@ -118,7 +102,8 @@ def main():
             train_loader = create_dataloader(train_set, dataset_opt, opt, seed=seed, ratio=ratio)
             steps_per_epoch = train_loader.steps_per_epoch()
             logger.info(
-                f"Train set: {len(train_set)} images, {steps_per_epoch} iters/epoch, target {total_iters} iters"
+                f"Train set: {len(train_set)} images, {steps_per_epoch} iters/epoch, "
+                f"target {total_iters} iters"
             )
         elif phase == "val":
             val_set = create_dataset(dataset_opt)
@@ -126,55 +111,19 @@ def main():
             logger.info(f"Val set: {len(val_set)} images")
     assert train_loader is not None
 
-    # ------------------------------------------------------------- model
-    which, setting = options.network_setting(opt)
-    net = build_network(which, setting)
-    sde_opt = opt["sde"]
-    sde = IRSDE.create(
-        max_sigma=sde_opt["max_sigma"],
-        T=int(sde_opt["T"]),
-        schedule=sde_opt["schedule"],
-        eps=float(sde_opt["eps"]),
-    )
+    # ------------------------------------------------------------- task
+    mesh = make_mesh()
+    task = build_task(opt, mesh, seed, base_key)
+    logger.info(f"Task {type(task).__name__}: {task.n_params():,d} parameters")
+    task.maybe_load_pretrained(resume=bool(resume_state_path))
 
-    lr_schedule = build_lr_schedule(opt["train"])
-    tx = build_from_options(opt["train"], lr_schedule)
-    train_step = make_train_step(
-        sde,
-        net.apply,
-        tx,
-        loss_type=opt["train"]["loss_type"] or "l1",
-        is_weighted=bool(opt["train"]["is_weighted"]),
-        weight=float(opt["train"]["weight"] or 1.0),
-    )
-
-    # init / load params
-    gt_size = int(opt["datasets"]["train"]["GT_size"])
-    in_nc = int(setting.get("in_nc") or setting.get("img_channel") or 3)
-    dummy = jnp.zeros((1, gt_size, gt_size, in_nc), jnp.float32)
-    params = jax.jit(net.init)(base_key, dummy, dummy, jnp.array([1.0]))
-    n_params = sum(p.size for p in jax.tree.leaves(params))
-    logger.info(f"Network {which}: {n_params:,d} parameters")
-
-    load_path = opt["path"]["pretrain_model_G"]
-    if load_path and not resume_state_path:
-        logger.info(f"Loading model for G [{load_path}]")
-        params = load_params(load_path, params)
-
-    state = create_train_state(params, tx)
+    state = task.state
     start_epoch, current_step = 0, 0
     if resume_state_path:
         state, start_epoch, current_step = load_training_state(resume_state_path, state)
         logger.info(f"Resuming training from epoch {start_epoch}, iter {current_step}")
-
-    # ------------------------------------------------------------ devices
-    mesh = make_mesh()
     state = replicate(state, mesh)
-    jit_step = jax.jit(train_step, donate_argnums=0)
-    sampler = make_restoration_sampler(sde, net.apply, mode=sde_opt["sampling_mode"] or "sde",
-                                       steps=int(sde_opt["sample_T"]) if sde_opt["sample_T"] else None)
 
-    deg_rng = np.random.default_rng(seed + 77)
     print_freq = int(opt["logger"]["print_freq"] or 100)
     save_freq = int(opt["logger"]["save_checkpoint_freq"] or 5000)
     val_freq = int(opt["train"]["val_freq"] or 5000)
@@ -183,54 +132,44 @@ def main():
 
     logger.info("Start training...")
     batch_iter = iter(train_loader)
+    epoch = start_epoch
     while current_step < total_iters:
         batch = next(batch_iter)
         current_step += 1
         epoch = current_step // max(1, steps_per_epoch)
 
-        lq, gt = prepare_pair(opt, batch, deg_rng)
-        lq, gt = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), mesh)
-        state, train_metrics = jit_step(state, lq, gt, base_key)
+        state, train_metrics = task.step(state, batch, base_key)
 
         if current_step % print_freq == 0 and rank0:
             loss = float(train_metrics["loss"])
             now = time.perf_counter()
-            ips = (current_step - steps_last) * lq.shape[0] / (now - t_last)
+            bsz = len(next(iter(batch.values())))
+            ips = (current_step - steps_last) * bsz / (now - t_last)
             t_last, steps_last = now, current_step
-            lr = float(lr_schedule(current_step))
-            logger.info(
-                f"<epoch:{epoch:3d}, iter:{current_step:8,d}, lr:{lr:.3e}, img/s:{ips:.1f}> loss: {loss:.4e}"
+            lr = float(task.lr_schedule(current_step))
+            msg = (
+                f"<epoch:{epoch:3d}, iter:{current_step:8,d}, lr:{lr:.3e}, "
+                f"img/s:{ips:.1f}> loss: {loss:.4e}"
             )
+            extra = {k: float(v) for k, v in train_metrics.items() if k != "loss"}
+            if extra:
+                msg += " " + " ".join(f"{k}: {v:.4e}" for k, v in extra.items())
+            logger.info(msg)
             if tb:
                 tb.add_scalar("loss", loss, current_step)
                 tb.add_scalar("img_per_sec", ips, current_step)
 
         if val_loader is not None and current_step % val_freq == 0 and rank0:
-            avg_psnr, n = 0.0, 0
             val_key = jax.random.fold_in(base_key, current_step)
-            max_val = opt["datasets"]["val"]["max_images"] or 16
-            for i, vb in enumerate(val_loader):
-                if i >= max_val:
-                    break
-                vlq, hw = pad_to_bucket(vb["LQ"], 64)
-                out = unpad(sampler(state.params, jnp.asarray(vlq), val_key), hw)
-                out_img = tensor2img(out[0])
-                gt_img = tensor2img(vb["GT"][0])
-                avg_psnr += metrics.calculate_psnr(out_img, gt_img)
-                n += 1
-                if i < 3:
-                    from image_restoration_sde_tpu.data.io_utils import save_img
-
-                    save_img(out_img, os.path.join(opt["path"]["val_images"], f"{current_step}_{i}.png"))
-            avg_psnr /= max(1, n)
-            if avg_psnr > best_psnr:
-                best_psnr, best_iter = avg_psnr, current_step
+            vm = task.validate(state, val_loader, val_key, opt["path"]["val_images"], current_step)
+            if vm["psnr"] > best_psnr:
+                best_psnr, best_iter = vm["psnr"], current_step
             logger_val.info(
-                f"<epoch:{epoch:3d}, iter:{current_step:8,d}, psnr: {avg_psnr:.6f}, "
+                f"<epoch:{epoch:3d}, iter:{current_step:8,d}, psnr: {vm['psnr']:.6f}, "
                 f"best psnr: {best_psnr:.6f} @ iter {best_iter:,d}>"
             )
             if tb:
-                tb.add_scalar("val_psnr", avg_psnr, current_step)
+                tb.add_scalar("val_psnr", vm["psnr"], current_step)
 
         if current_step % save_freq == 0 and rank0:
             logger.info("Saving models and training states.")
