@@ -1,0 +1,183 @@
+"""DiT score network (Flax, NHWC) — transformer alternative backbone.
+
+Functional parity with the reference Diffusion Transformer
+(``codes/config/latent-dehazing/models/modules/DiT_arch.py:186-308``):
+PatchEmbed over ``concat([x - cond, cond])``, GLIDE-style timestep embedding
+(cos-first, freq dim 256), adaLN-Zero blocks (6-way modulation, zero-init),
+zero-init final layer, unpatchify; inputs reflect-padded to the patch size.
+Positional embedding disabled exactly like the reference (DiT_arch.py:215).
+
+Size ladder: DiT_{S,B,L,XL}_{2,4,8} (DiT_arch.py:369-411).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import check_image_size
+
+
+def glide_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """cos-first sinusoidal embedding (ref DiT_arch.py:82-99)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = jnp.asarray(t, jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class MHA(nn.Module):
+    """timm-style attention: fused qkv (bias), per-head scaling, out proj."""
+
+    hidden: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        dh = D // self.heads
+        qkv = nn.Dense(D * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32), k.astype(jnp.float32))
+        attn = jax.nn.softmax(attn * dh**-0.5, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32))
+        out = out.reshape(B, N, D).astype(self.dtype)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero block (ref DiT_arch.py:142-163)."""
+
+    hidden: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(
+            6 * self.hidden,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            param_dtype=jnp.float32,
+            name="adaLN",
+        )(nn.silu(c))
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, axis=-1)
+
+        ln = lambda z: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(z)
+        h = MHA(self.hidden, self.heads, dtype=self.dtype)(modulate(ln(x), s_msa, sc_msa))
+        x = x + g_msa[:, None, :] * h
+        mlp_dim = int(self.hidden * self.mlp_ratio)
+        h = modulate(ln(x), s_mlp, sc_mlp)
+        h = nn.Dense(mlp_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = nn.gelu(h, approximate=True)  # timm Mlp with GELU(tanh)
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        return x + g_mlp[:, None, :] * h
+
+
+class DiT(nn.Module):
+    """Args mirror the reference ctor (DiT_arch.py:192-203)."""
+
+    input_size: int = 32  # config parity; shapes are dynamic
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1  # parity; label embedder disabled upstream
+    learn_sigma: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp, cond, time):
+        B, H, W, C = inp.shape
+        time = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1), (B,))
+        out_ch = self.in_channels * 2 if self.learn_sigma else self.in_channels
+        p = self.patch_size
+
+        x = jnp.concatenate([inp - cond, cond], axis=-1)
+        x = check_image_size(x, p, mode="reflect").astype(self.dtype)
+        Hp, Wp = x.shape[1], x.shape[2]
+
+        # patch embed: conv stride p, flatten to tokens
+        x = nn.Conv(
+            self.hidden_size, (p, p), strides=(p, p), padding="VALID",
+            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, self.hidden_size)
+
+        # timestep embedding: GLIDE sinusoid (256) -> Dense -> SiLU -> Dense
+        t = glide_timestep_embedding(time, 256)
+        t = nn.Dense(self.hidden_size, param_dtype=jnp.float32, name="t_mlp_1")(t)
+        t = nn.silu(t)
+        t = nn.Dense(self.hidden_size, param_dtype=jnp.float32, name="t_mlp_2")(t)
+        t = t.astype(self.dtype)
+
+        for i in range(self.depth):
+            x = DiTBlock(
+                self.hidden_size, self.num_heads, self.mlp_ratio,
+                dtype=self.dtype, name=f"block{i}",
+            )(x, t)
+
+        # final layer: adaLN (2-way) + zero-init linear to patch pixels
+        mod = nn.Dense(
+            2 * self.hidden_size, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, param_dtype=jnp.float32, name="final_adaLN",
+        )(nn.silu(t))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)
+        x = modulate(x, shift, scale)
+        x = nn.Dense(
+            p * p * out_ch, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=jnp.float32, name="final_linear",
+        )(x)
+
+        # unpatchify to NHWC
+        x = x.reshape(B, gh, gw, p, p, out_ch)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, out_ch)
+        return x[:, :H, :W, :].astype(jnp.float32)
+
+
+def _sized(hidden, depth, heads):
+    def make(patch):
+        def ctor(**kw):
+            kw.setdefault("hidden_size", hidden)
+            kw.setdefault("depth", depth)
+            kw.setdefault("num_heads", heads)
+            kw.setdefault("patch_size", patch)
+            return DiT(**kw)
+
+        return ctor
+
+    return make
+
+
+# size ladder (ref DiT_arch.py:369-411)
+DiT_XL_2 = _sized(1152, 28, 16)(2)
+DiT_XL_4 = _sized(1152, 28, 16)(4)
+DiT_XL_8 = _sized(1152, 28, 16)(8)
+DiT_L_2 = _sized(1024, 24, 16)(2)
+DiT_L_4 = _sized(1024, 24, 16)(4)
+DiT_L_8 = _sized(1024, 24, 16)(8)
+DiT_B_2 = _sized(768, 12, 12)(2)
+DiT_B_4 = _sized(768, 12, 12)(4)
+DiT_B_8 = _sized(768, 12, 12)(8)
+DiT_S_2 = _sized(384, 12, 6)(2)
+DiT_S_4 = _sized(384, 12, 6)(4)
+DiT_S_8 = _sized(384, 12, 6)(8)

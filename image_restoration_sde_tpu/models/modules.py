@@ -302,3 +302,23 @@ def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
     """Split channels in half and multiply.  Ref: DenoisingNAFNet_arch.py:9-12."""
     x1, x2 = jnp.split(x, 2, axis=-1)
     return x1 * x2
+
+
+def local_avg_pool(x: jnp.ndarray, k1: int, k2: int) -> jnp.ndarray:
+    """TLSC windowed average pooling via integral image, same-size output.
+
+    Exact port of the reference's non-fast AvgPool2d path
+    (local_arch.py:57-72): k1 x k2 window sums from a zero-padded 2-D cumsum,
+    normalized by the window area, then replicate-padded back to the input's
+    spatial dims.  NHWC.
+    """
+    B, H, W, C = x.shape
+    k1, k2 = min(H, k1), min(W, k2)
+    s = jnp.cumsum(jnp.cumsum(x.astype(jnp.float32), axis=2), axis=1)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    out = (
+        s[:, k1:, k2:] + s[:, :-k1, :-k2] - s[:, :-k1, k2:] - s[:, k1:, :-k2]
+    ) / (k1 * k2)
+    _h, _w = out.shape[1], out.shape[2]
+    pad = ((0, 0), ((H - _h) // 2, (H - _h + 1) // 2), ((W - _w) // 2, (W - _w + 1) // 2), (0, 0))
+    return jnp.pad(out, pad, mode="edge").astype(x.dtype)

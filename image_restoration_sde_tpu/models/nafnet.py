@@ -23,6 +23,7 @@ from flax import linen as nn
 from .modules import (
     ChannelLayerNorm,
     check_image_size,
+    local_avg_pool,
     pixel_shuffle,
     simple_gate,
     sinusoidal_pos_emb,
@@ -44,11 +45,17 @@ def _conv(features, kernel, name, use_bias=True, stride=1, groups=1, dtype=jnp.f
 
 
 class NAFBlock(nn.Module):
-    """Ref: DenoisingNAFNet_arch.py:15-84."""
+    """Ref: DenoisingNAFNet_arch.py:15-84.
+
+    ``sca_kernel``: when set, the simplified-channel-attention pool becomes a
+    TLSC windowed mean (local statistics; ref local_arch.py) instead of the
+    global mean — the train/test resolution-mismatch fix.
+    """
 
     c: int
     dw_expand: int = 2
     ffn_expand: int = 2
+    sca_kernel: Any = None  # Optional[Tuple[int, int]]
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,8 +74,13 @@ class NAFBlock(nn.Module):
         x = _conv(dw, 1, "conv1", dtype=dtype)(x)
         x = _conv(dw, 3, "conv2", groups=dw, dtype=dtype)(x)
         x = simple_gate(x)
-        # simplified channel attention: global pool -> 1x1 conv -> scale
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # simplified channel attention: (global | TLSC local) pool -> 1x1 conv
+        if self.sca_kernel is not None and (
+            self.sca_kernel[0] < x.shape[1] or self.sca_kernel[1] < x.shape[2]
+        ):
+            pooled = local_avg_pool(x, self.sca_kernel[0], self.sca_kernel[1])
+        else:
+            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         x = x * _conv(dw // 2, 1, "sca_conv", dtype=dtype)(pooled)
         x = _conv(c, 1, "conv3", dtype=dtype)(x)
 
@@ -95,7 +107,19 @@ class ConditionalNAFNet(nn.Module):
     dec_blk_nums: Sequence[int] = ()
     upscale: int = 1  # config parity; unused
     conditional: bool = True  # False = denoising-sde variant (no LQ concat)
+    tlsc_train_size: Any = None  # (H, W) train crop -> TLSC local SCA stats
     dtype: Any = jnp.float32
+
+    def _sca_kernel(self, level: int):
+        """TLSC kernel at a pyramid level: 1.5x the train-crop feature size
+        (ref local_arch.py:26-36 — kernels are pinned by a train-size dry
+        run; here computed statically per level)."""
+        if self.tlsc_train_size is None:
+            return None
+        th, tw = self.tlsc_train_size
+        base_h, base_w = int(th * 1.5), int(tw * 1.5)
+        fh, fw = th >> level, tw >> level
+        return (max(1, fh * base_h // th), max(1, fw * base_w // tw))
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray, cond: jnp.ndarray, time) -> jnp.ndarray:
@@ -123,13 +147,16 @@ class ConditionalNAFNet(nn.Module):
         chan = self.width
         for i, num in enumerate(self.enc_blk_nums):
             for b in range(num):
-                x = NAFBlock(chan, dtype=dtype, name=f"enc{i}_block{b}")(x, t)
+                x = NAFBlock(chan, sca_kernel=self._sca_kernel(i), dtype=dtype,
+                             name=f"enc{i}_block{b}")(x, t)
             skips.append(x)
             x = _conv(2 * chan, 2, f"down{i}", stride=2, dtype=dtype)(x)
             chan *= 2
 
+        n_enc = len(self.enc_blk_nums)
         for b in range(self.middle_blk_num):
-            x = NAFBlock(chan, dtype=dtype, name=f"mid_block{b}")(x, t)
+            x = NAFBlock(chan, sca_kernel=self._sca_kernel(n_enc), dtype=dtype,
+                         name=f"mid_block{b}")(x, t)
 
         for i, num in enumerate(self.dec_blk_nums):
             x = _conv(2 * chan, 1, f"up{i}", use_bias=False, dtype=dtype)(x)
@@ -137,7 +164,8 @@ class ConditionalNAFNet(nn.Module):
             chan //= 2
             x = x + skips[-(i + 1)]
             for b in range(num):
-                x = NAFBlock(chan, dtype=dtype, name=f"dec{i}_block{b}")(x, t)
+                x = NAFBlock(chan, sca_kernel=self._sca_kernel(n_enc - 1 - i),
+                             dtype=dtype, name=f"dec{i}_block{b}")(x, t)
 
         x = _conv(self.img_channel, 3, "ending", dtype=dtype)(x)
         return x[:, :H, :W, :].astype(jnp.float32)

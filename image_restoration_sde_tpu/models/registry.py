@@ -55,6 +55,26 @@ def _populate():
         _REGISTRY.setdefault("UNet", UNet)
     except ImportError:
         pass
+    from .stereo_nafnet import StereoConditionalNAFNet
+    from .bokeh_nafnet import BokehConditionalNAFNet
+    from . import dit
+
+    _REGISTRY.setdefault("StereoConditionalNAFNet", StereoConditionalNAFNet)
+    _REGISTRY.setdefault("BokehConditionalNAFNet", BokehConditionalNAFNet)
+    _REGISTRY.setdefault("DiT", dit.DiT)
+    for size in ("S", "B", "L", "XL"):
+        for patch in (2, 4, 8):
+            _REGISTRY.setdefault(f"DiT_{size}_{patch}", getattr(dit, f"DiT_{size}_{patch}"))
+
+    def _cnafnet_local(train_size=(1, 3, 128, 128), fast_imp=False, **kw):
+        # reference CNAFNetLocal: NAFNet with TLSC stats pinned to the train
+        # crop (ref latent-dehazing local_arch.py + DenoisingNAFNet_arch.py:190-201)
+        from .nafnet import ConditionalNAFNet
+
+        H, W = train_size[-2], train_size[-1]
+        return ConditionalNAFNet(tlsc_train_size=(H, W), **kw)
+
+    _REGISTRY.setdefault("CNAFNetLocal", _cnafnet_local)
 
 
 _populate()

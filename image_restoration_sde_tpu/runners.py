@@ -74,8 +74,18 @@ def build_task(opt, mesh, seed: int, base_key):
     if model_type == "latent":
         return CompressorTask(opt, mesh, seed, base_key)
     if model_type == "latent_denoising":
+        if _dataset_mode(opt).startswith("Bokeh"):
+            return BokehLatentDiffusionTask(opt, mesh, seed, base_key)
         return LatentDiffusionTask(opt, mesh, seed, base_key)
     raise NotImplementedError(f"model type {model_type!r}")
+
+
+def _dataset_mode(opt) -> str:
+    dsets = opt["datasets"] or {}
+    for key in ("train", *dsets.keys()):
+        if dsets.get(key):
+            return dsets[key].get("mode", "")
+    return ""
 
 
 def _make_irsde(sde_opt) -> IRSDE:
@@ -133,10 +143,17 @@ class PixelDiffusionTask(_Base):
     def __init__(self, opt, mesh, seed, base_key):
         super().__init__(opt, mesh, seed, base_key)
         which, setting = options.network_setting(opt)
+        self.stereo = _dataset_mode(opt).startswith("Ste")
+        if self.stereo and which == "ConditionalNAFNet":
+            # the stereo-sr task dir ships its own ConditionalNAFNet with
+            # SCAM fusion under the same class name (SURVEY §2.2)
+            which = "StereoConditionalNAFNet"
         self.net = build_network(which, setting)
         self.sde = _make_irsde(opt["sde"])
         gt_size = int(opt["datasets"]["train"]["GT_size"]) if opt["is_train"] else 64
         in_nc = int(setting.get("in_nc") or setting.get("img_channel") or 3)
+        if self.stereo:
+            in_nc *= 2
         params = _init_params(self.net, base_key, (1, gt_size, gt_size, in_nc))
         self.state = create_train_state(params, self.tx)
         self._train_step = make_train_step(
@@ -380,11 +397,14 @@ class LatentDiffusionTask(_Base):
         embed_dim = int(setting_l.get("embed_dim") or 4)
         depth_red = 2 ** (len(setting_l.get("ch_mult") or [1, 2, 4, 4]) - 1)
         lat_size = max(gt_size // depth_red, 4)
-        params = _init_params(self.net, k2, (1, lat_size, lat_size, embed_dim))
+        params = self._init_score_params(k2, (1, lat_size, lat_size, embed_dim))
         self.state = create_train_state(params, self.tx)
         self._mode = opt["sde"]["sampling_mode"] or "sde"
         self._steps = int(opt["sde"]["sample_T"]) if opt["sde"]["sample_T"] else None
         self._sampler = None  # built after latent params are loaded
+
+    def _init_score_params(self, key, shape):
+        return _init_params(self.net, key, shape)
 
     def _build_fns(self):
         self._jit_step = jax.jit(
@@ -438,6 +458,122 @@ class LatentDiffusionTask(_Base):
                 break
             vlq, hw = pad_to_bucket(np.asarray(vb["LQ"]), 64)
             out = unpad(self._sampler(state.params, jnp.asarray(vlq), key), hw)
+            out_img = tensor2img(out[0])
+            avg_psnr += metrics.calculate_psnr(out_img, tensor2img(vb["GT"][0]))
+            n += 1
+            if i < 3:
+                save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
+        return {"psnr": avg_psnr / max(1, n)}
+
+
+class BokehLatentDiffusionTask(LatentDiffusionTask):
+    """Latent diffusion with lens conditioning (ref latent-bokeh task:
+    latent_denoising_model.py:143-189 — lens_info kwarg flows through
+    sde.noise_fn into the score net; EMA disabled upstream is preserved by
+    the shared EMA config remaining inert until warmup anyway)."""
+
+    def __init__(self, opt, mesh, seed, base_key):
+        which_g, _ = options.network_setting(opt, "network_G")
+        if which_g == "ConditionalNAFNet":
+            opt["network_G"]["which_model"] = "BokehConditionalNAFNet"
+            opt["network_G"].pop("which_model_G", None)
+        super().__init__(opt, mesh, seed, base_key)
+
+    def _init_score_params(self, key, shape):
+        dummy = jnp.zeros(shape, jnp.float32)
+        lens = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1,)))
+        return jax.jit(
+            lambda k, x: self.net.init(k, x, x, jnp.array([1.0]), lens_info=lens)
+        )(key, dummy)
+
+    def _lens(self, batch):
+        return (
+            jnp.asarray(batch["src_lens"]).reshape(-1),
+            jnp.asarray(batch["tgt_lens"]).reshape(-1),
+            jnp.asarray(batch["disparity"]).reshape(-1),
+        )
+
+    def _build_fns(self):
+        from . import training as _t
+        from .training import ema as ema_lib
+        from .training.losses import matching_loss
+        from .training.trainer import TrainState as TS
+        import optax
+
+        sde, net_apply = self.sde, self.net.apply
+        encode_fn, decode_fn = self.encode_fn, self.decode_fn
+        latent_params = jax.lax.stop_gradient(self.latent_params)
+        tx = self.tx
+        kw = self._loss_kwargs()
+
+        def train_step(state, lq, gt, lens, key):
+            key = jax.random.fold_in(key, state.step)
+            latent_lq, _ = encode_fn(latent_params, lq)
+            latent_gt, _ = encode_fn(latent_params, gt)
+            latent_lq = jax.lax.stop_gradient(latent_lq)
+            latent_gt = jax.lax.stop_gradient(latent_gt)
+            timesteps, xt = sde.generate_random_states(key, latent_gt, latent_lq)
+            tvec = timesteps.reshape(-1)
+
+            def loss_fn(params):
+                noise = net_apply(params, xt, latent_lq, tvec, lens_info=lens)
+                score = sde.score_from_noise(noise, timesteps)
+                pred = sde.reverse_sde_step_mean(xt, latent_lq, score, timesteps)
+                target = sde.reverse_optimum_step(xt, latent_gt, latent_lq, timesteps)
+                return kw["weight"] * matching_loss(pred, target, kw["loss_type"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_state = ema_lib.update(state.ema, params)
+            return TS(step=state.step + 1, params=params, opt_state=opt_state, ema=ema_state), {"loss": loss}
+
+        self._jit_step = jax.jit(train_step, donate_argnums=0)
+
+        from .sde import samplers as _samplers
+
+        mode, steps = self._mode, self._steps
+
+        @jax.jit
+        def sample(params, lq, lens, key):
+            latent_lq, hidden = encode_fn(latent_params, lq)
+            k_init, k_chain = jax.random.split(key)
+            noisy = sde.noise_state(k_init, latent_lq)
+
+            def noise_fn(x, mu, tvec):
+                return net_apply(params, x, mu, tvec, lens_info=lens)
+
+            if mode == "posterior":
+                latent = _samplers.reverse_posterior(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
+            else:
+                latent = _samplers.reverse_sde(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
+            H, W = lq.shape[1], lq.shape[2]
+            return decode_fn(latent_params, latent, hidden)[:, :H, :W, :]
+
+        self._sampler = sample
+
+    def step(self, state, batch, key):
+        if self._sampler is None:
+            self._build_fns()
+        lq, gt = shard_batch((jnp.asarray(batch["LQ"]), jnp.asarray(batch["GT"])), self.mesh)
+        return self._jit_step(state, lq, gt, self._lens(batch), key)
+
+    def infer(self, params, batch, key):
+        if self._sampler is None:
+            self._build_fns()
+        vlq, hw = pad_to_bucket(np.asarray(batch["LQ"]), 64)
+        out = unpad(self._sampler(params, jnp.asarray(vlq), self._lens(batch), key), hw)
+        return np.asarray(out), np.asarray(batch["LQ"])
+
+    def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
+        if self._sampler is None:
+            self._build_fns()
+        max_val = self.opt["datasets"]["val"]["max_images"] or 8
+        avg_psnr, n = 0.0, 0
+        for i, vb in enumerate(loader):
+            if i >= max_val:
+                break
+            out, _ = self.infer(state.params, vb, key)
             out_img = tensor2img(out[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(vb["GT"][0]))
             n += 1
