@@ -89,6 +89,12 @@ def _resize(img: np.ndarray, scale_or_shape, a: float, antialias: bool, boundary
         s = float(scale_or_shape)
         out_h, out_w = int(math.ceil(H * s)), int(math.ceil(W * s))
         sh = sw = s
+    # native C++ fast path (OpenMP); numpy fallback below
+    from .native import resize_cubic_native
+
+    native = resize_cubic_native(img, (out_h, out_w), (sh, sw), a, antialias, boundary)
+    if native is not None:
+        return native[:, :, 0] if squeeze else native
     out = _resize_axis(img, out_h, sh, 0, a, antialias, boundary)
     out = _resize_axis(out, out_w, sw, 1, a, antialias, boundary)
     out = out.astype(np.float32)
