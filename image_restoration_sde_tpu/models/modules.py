@@ -13,11 +13,16 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# Pallas kernels auto-engage on TPU; IRSDE_DISABLE_PALLAS=1 turns them off
+_USE_PALLAS = os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -69,10 +74,9 @@ class ChannelLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        out = (xf - mean) * jax.lax.rsqrt(var + eps) * g
+        from ..ops.layernorm import channel_layernorm
+
+        out = channel_layernorm(x.astype(jnp.float32), g, eps, _USE_PALLAS)
         return out.astype(self.dtype)
 
 
@@ -226,12 +230,17 @@ class LinearAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
-        v = v.astype(jnp.float32) / N
+        from ..ops.linear_attention import linear_attention
 
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # reduce over space
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        # (B, N, h, d) -> (B*h, N, d) slices for the fused kernel
+        to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(B * self.heads, N, self.dim_head)
+        out = linear_attention(
+            to_bh(q).astype(jnp.float32),
+            to_bh(k).astype(jnp.float32),
+            to_bh(v).astype(jnp.float32),
+            _USE_PALLAS,
+        )
+        out = out.reshape(B, self.heads, N, self.dim_head).transpose(0, 2, 1, 3)
         out = out.reshape(B, H, W, hidden).astype(self.dtype)
 
         out = nn.Conv(

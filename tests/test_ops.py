@@ -1,0 +1,53 @@
+"""Pallas kernel tests (interpret mode on CPU): numerical parity with the
+jnp reference compositions and gradient correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_restoration_sde_tpu.ops.layernorm import _jnp_ln, channel_layernorm
+from image_restoration_sde_tpu.ops.linear_attention import (
+    _jnp_linear_attention,
+    linear_attention,
+)
+
+
+def test_linear_attention_kernel_matches_reference():
+    key = jax.random.PRNGKey(0)
+    q, k, v = jax.random.normal(key, (3, 8, 64, 32))
+    ref = _jnp_linear_attention(q, k, v)
+    got = jax.jit(lambda a, b, c: linear_attention(a, b, c, True, True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_linear_attention_grads_match():
+    key = jax.random.PRNGKey(1)
+    q, k, v = jax.random.normal(key, (3, 2, 32, 16))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(linear_attention(q, k, v, True, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_jnp_linear_attention(q, k, v) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_channel_layernorm_kernel_matches_reference():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 9, 7, 48))  # odd spatial -> row padding
+    g = jax.random.normal(jax.random.PRNGKey(3), (48,)) + 1.0
+    ref = _jnp_ln(x, g, 1e-5)
+    got = jax.jit(lambda a, b: channel_layernorm(a, b, 1e-5, True, True))(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_channel_layernorm_grads():
+    x = jax.random.normal(jax.random.PRNGKey(4), (64, 32))
+    g = jnp.ones((32,))
+    g1 = jax.jit(jax.grad(lambda a: jnp.sum(channel_layernorm(a, g, 1e-5, True, True) ** 3)))(x)
+    g2 = jax.jit(jax.grad(lambda a: jnp.sum(_jnp_ln(a, g, 1e-5) ** 3)))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
