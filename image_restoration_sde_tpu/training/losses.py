@@ -28,3 +28,25 @@ def matching_loss(
     if weights is not None:
         per_sample = weights.reshape(-1) * per_sample
     return per_sample.mean()
+
+
+def perceptual_matching_loss(
+    predict: jnp.ndarray,
+    target: jnp.ndarray,
+    loss_type: str = "l1",
+    weights: Optional[jnp.ndarray] = None,
+    lpips_weight: float = 0.01,
+    lpips_fn=None,
+) -> jnp.ndarray:
+    """MatchingLoss + lpips_weight * LPIPS(vgg).
+
+    Parity: ref config/unet-latent/models/modules/loss.py:34-58
+    (PerceptualMatchingLoss — defined upstream but the shipped code path
+    uses the plain MatchingLoss, latent_model.py:50-51).  ``lpips_fn`` is an
+    injectable host metric (the pip ``lpips`` net is torch; when absent the
+    perceptual term is skipped, matching the effective reference behavior).
+    """
+    loss = matching_loss(predict, target, loss_type, weights)
+    if lpips_fn is not None:
+        loss = loss + lpips_weight * lpips_fn(predict, target)
+    return loss
