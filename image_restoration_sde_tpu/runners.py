@@ -192,6 +192,9 @@ class PixelDiffusionTask(_Base):
         lq, gt = shard_batch((jnp.asarray(lq), jnp.asarray(gt)), self.mesh)
         return self._jit_step(state, lq, gt, key)
 
+    def sample_batch(self, params, tiles, key):
+        return self.sampler(params, jnp.asarray(tiles), key)
+
     def infer(self, params, batch, key):
         """batch -> (restored NHWC f32, conditioning LQ used)."""
         if "GT" in batch and "LQ" not in batch:
@@ -264,6 +267,9 @@ class GaussianDenoisingTask(_Base):
     def step(self, state, batch, key):
         gt = shard_batch(jnp.asarray(batch["GT"]), self.mesh)
         return self._jit_step(state, gt, key)
+
+    def sample_batch(self, params, tiles, key):
+        return self.sampler(params, jnp.asarray(tiles))
 
     def infer(self, params, batch, key):
         if "LQ" in batch:
@@ -440,6 +446,11 @@ class LatentDiffusionTask(_Base):
             self._build_fns()
         lq, gt = shard_batch((jnp.asarray(batch["LQ"]), jnp.asarray(batch["GT"])), self.mesh)
         return self._jit_step(state, lq, gt, key)
+
+    def sample_batch(self, params, tiles, key):
+        if self._sampler is None:
+            self._build_fns()
+        return self._sampler(params, jnp.asarray(tiles), key)
 
     def infer(self, params, batch, key):
         if self._sampler is None:

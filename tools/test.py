@@ -98,7 +98,22 @@ def main():
             base = os.path.splitext(os.path.basename(batch[path_key][0]))[0] + suffix
 
             t0 = time.perf_counter()
-            out, lq_used = task.infer(params, batch, jax.random.fold_in(key, i))
+            tile = opt["tile"]
+            if tile and hasattr(task, "sample_batch"):
+                # tiled inference for large images (one compiled tile shape)
+                from image_restoration_sde_tpu.tiling import tiled_restore
+
+                if "LQ" in batch:
+                    lq_used = np.asarray(batch["LQ"])
+                else:
+                    _, lq_used = task.infer(params, batch, jax.random.fold_in(key, i))
+                out = tiled_restore(
+                    task.sample_batch, params, lq_used, jax.random.fold_in(key, i),
+                    tile=int(tile), overlap=int(opt["tile_overlap"] or 64),
+                    tile_batch=int(opt["tile_batch"] or 4),
+                )
+            else:
+                out, lq_used = task.infer(params, batch, jax.random.fold_in(key, i))
             dt = time.perf_counter() - t0
 
             out_img = tensor2img(out[0])
