@@ -1,0 +1,94 @@
+"""End-to-end driver test: train a tiny model via tools/train.py and
+evaluate it via tools/test.py, as subprocesses on the CPU platform."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _write_dataset(root):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for split in ["train", "val"]:
+        for sub in ["GT", "LQ"]:
+            os.makedirs(root / split / sub, exist_ok=True)
+        for i in range(4):
+            gt = (rs.rand(24, 24, 3) * 255).astype(np.uint8)
+            lq = np.clip(gt.astype(int) + 30, 0, 255).astype(np.uint8)
+            Image.fromarray(gt).save(root / split / "GT" / f"im{i}.png")
+            Image.fromarray(lq).save(root / split / "LQ" / f"im{i}.png")
+
+
+def _run(script, opt_path):
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # single CPU device is fine and faster
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", script), f"-opt={opt_path}"],
+        capture_output=True, text=True, timeout=480, env=env,
+    )
+
+
+def test_train_then_test_cli(tmp_path):
+    _write_dataset(tmp_path)
+    import yaml
+
+    train_cfg = {
+        "name": "e2e", "use_tb_logger": False, "model": "denoising",
+        "distortion": "derain", "gpu_ids": [0],
+        "sde": {"max_sigma": 10, "T": 4, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "sde"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "datasets": {
+            "train": {"name": "t", "mode": "LQGT",
+                      "dataroot_GT": str(tmp_path / "train" / "GT"),
+                      "dataroot_LQ": str(tmp_path / "train" / "LQ"),
+                      "n_workers": 1, "batch_size": 2, "GT_size": 16,
+                      "LR_size": 16, "use_flip": True, "use_rot": True,
+                      "dataset_enlarge_ratio": 4},
+        },
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+        "path": {"root": str(tmp_path / "run")},
+        "train": {"optimizer": "Adam", "lr_G": 1e-4, "lr_scheme": "MultiStepLR",
+                  "beta1": 0.9, "beta2": 0.99, "niter": 3, "warmup_iter": -1,
+                  "lr_steps": [], "is_weighted": False, "loss_type": "l1",
+                  "weight": 1.0, "manual_seed": 1, "val_freq": 100},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 3},
+    }
+    opt_path = tmp_path / "train.yml"
+    yaml.safe_dump(train_cfg, open(opt_path, "w"))
+    r = _run("train.py", opt_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import glob
+
+    hits = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "e2e" / "models" / "3_G"))
+    assert hits, r.stderr[-2000:]
+    ckpt = hits[0]
+
+    test_cfg = {
+        "name": "e2e-test", "model": "denoising", "distortion": "derain",
+        "gpu_ids": [0], "seed": 0,
+        "sde": {"max_sigma": 10, "T": 4, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "posterior"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "datasets": {"test1": {"name": "valset", "mode": "LQGT",
+                               "dataroot_GT": str(tmp_path / "val" / "GT"),
+                               "dataroot_LQ": str(tmp_path / "val" / "LQ")}},
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+        "path": {"pretrain_model_G": ckpt, "root": str(tmp_path / "run")},
+    }
+    opt_path2 = tmp_path / "test.yml"
+    yaml.safe_dump(test_cfg, open(opt_path2, "w"))
+    r2 = _run("test.py", opt_path2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "avg over 4" in (r2.stdout + r2.stderr)

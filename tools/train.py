@@ -31,6 +31,10 @@ jax.config.update(
 # sitecustomize clobbers JAX_PLATFORMS; IRSDE_PLATFORM=cpu forces CPU here
 if os.environ.get("IRSDE_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
+# multi-host: replaces torch.distributed.launch (ref train.py:28-40) —
+# set IRSDE_MULTIHOST=1 (with the usual JAX coordinator env) to initialize
+if os.environ.get("IRSDE_MULTIHOST") == "1":
+    jax.distributed.initialize()
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
