@@ -24,8 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget per slice: qkv + out + scratch, f32
-_VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+# Mosaic's scoped-vmem budget (~13 MB) must hold each operand block twice
+# (pipeline double buffering) for q, k, v plus the output block: the usable
+# per-slice budget works out to ~0.75 MB per (N, d) f32 block.  Above that,
+# fall back to the XLA composition (N-tiled streaming softmax is future work).
+_BLOCK_LIMIT_BYTES = 1024 * 1024
 
 
 def _jnp_linear_attention(q, k, v):
@@ -39,42 +42,55 @@ def _jnp_linear_attention(q, k, v):
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)  # (N, d)
+    # blocks are (d, N): head-dim on sublanes (32 ok for f32), space on lanes
+    # (N is a multiple of 128 after the conv feature maps) — avoids the 4x
+    # lane padding a (N, 32) layout would cost.
+    q = q_ref[0].astype(jnp.float32)  # (d, N)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    N, d = q.shape
+    d, N = q.shape
 
-    # softmax over d (rows)
-    qm = jnp.max(q, axis=-1, keepdims=True)
-    qe = jnp.exp(q - qm)
-    qs = qe / jnp.sum(qe, axis=-1, keepdims=True) * (d**-0.5)
+    # softmax over d (sublanes), scaled
+    qs = jnp.exp(q - jnp.max(q, axis=0, keepdims=True))
+    qs = qs / jnp.sum(qs, axis=0, keepdims=True) * (d**-0.5)
 
-    # softmax over N (columns)
-    km = jnp.max(k, axis=0, keepdims=True)
-    ke = jnp.exp(k - km)
-    ks = ke / jnp.sum(ke, axis=0, keepdims=True)
-
-    context = jnp.dot(ks.T, v / N, preferred_element_type=jnp.float32)  # (d, d)
-    o_ref[0] = jnp.dot(qs, context, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # softmax over N folded into the contraction:
+    # context[d, e] = sum_n ke[d, n] (v[e, n]/N) / ksum[d]
+    ke = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))
+    ksum = jnp.sum(ke, axis=1, keepdims=True)  # (d, 1)
+    context = jax.lax.dot_general(
+        ke, v / N, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (d, e)
+    context = context / ksum
+    # out[e, n] = sum_d context[d, e] qs[d, n]
+    out = jax.lax.dot_general(
+        context, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _pallas_linear_attention(q, k, v, *, interpret=False):
     BH, N, d = q.shape
+    qT = q.transpose(0, 2, 1)
+    kT = k.transpose(0, 2, 1)
+    vT = v.transpose(0, 2, 1)
     grid = (BH,)
-    spec = pl.BlockSpec((1, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    spec = pl.BlockSpec((1, d, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((BH, N, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, d, N), q.dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES + 2**20),
-    )(q, k, v)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=10 * 2**20),
+    )(qT, kT, vT)
+    return outT.transpose(0, 2, 1)
 
 
 def _fits_vmem(N: int, d: int) -> bool:
-    return 4 * N * d * 4 <= _VMEM_LIMIT_BYTES  # q,k,v,out in f32
+    # (d, N) blocks: true size, double-buffered x3 inputs + out within ~10MB
+    return N * d * 4 <= _BLOCK_LIMIT_BYTES and N % 128 == 0
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -62,7 +62,9 @@ class StepTimer:
 def estimate_mfu(fn: Callable, args, step_seconds: float, peak_flops: Optional[float] = None) -> float:
     """MFU = (XLA-reported FLOPs per call) / (peak * step_seconds)."""
     cost = jax.jit(fn).lower(*args).cost_analysis()
-    flops = float(cost.get("flops", 0.0))
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float((cost or {}).get("flops", 0.0))
     if peak_flops is None:
         kind = jax.devices()[0].device_kind.lower()
         peak_flops = 197e12 if "v5 lite" in kind or "v5e" in kind else 275e12
