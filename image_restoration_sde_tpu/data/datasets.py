@@ -48,6 +48,11 @@ class _Base:
         self._envs = {}
 
     def _paths(self, key: str):
+        if self.data_type == "mc":
+            raise NotImplementedError(
+                "memcached ('_mc' modes) is not supported in this build; "
+                "use image folders or lmdb"
+            )
         res = io_utils.get_image_paths(self.data_type, self.opt.get(key))
         if self.data_type == "lmdb" and res is not None:
             return res  # (paths, sizes)

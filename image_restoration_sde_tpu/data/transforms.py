@@ -142,3 +142,42 @@ def channel_convert(in_c: int, tar_type: Optional[str], img_list: Sequence[np.nd
     if in_c == 1 and tar_type == "RGB":
         return [np.repeat(im, 3, axis=2) for im in img_list]
     return list(img_list)
+
+
+def augment_flow(
+    img_list: List[np.ndarray],
+    flow_list: List[np.ndarray],
+    use_flip: bool = True,
+    use_rot: bool = True,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Joint image+optical-flow augmentation (ref data/util.py:106-137):
+    flips negate the matching flow component, rot90 swaps flow channels."""
+    rng = rng or np.random.default_rng()
+    hflip = use_flip and rng.random() < 0.5
+    vflip = use_rot and rng.random() < 0.5
+    rot90 = use_rot and rng.random() < 0.5
+
+    def _img(img):
+        if hflip:
+            img = img[:, ::-1, :]
+        if vflip:
+            img = img[::-1, :, :]
+        if rot90:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img)
+
+    def _flow(flow):
+        flow = flow.copy()
+        if hflip:
+            flow = flow[:, ::-1, :]
+            flow[:, :, 0] *= -1
+        if vflip:
+            flow = flow[::-1, :, :]
+            flow[:, :, 1] *= -1
+        if rot90:
+            flow = flow.transpose(1, 0, 2)
+            flow = flow[:, :, [1, 0]]
+        return np.ascontiguousarray(flow)
+
+    return [_img(i) for i in img_list], [_flow(f) for f in flow_list]

@@ -331,3 +331,40 @@ def local_avg_pool(x: jnp.ndarray, k1: int, k2: int) -> jnp.ndarray:
     _h, _w = out.shape[1], out.shape[2]
     pad = ((0, 0), ((H - _h) // 2, (H - _h + 1) // 2), ((W - _w) // 2, (W - _w + 1) // 2), (0, 0))
     return jnp.pad(out, pad, mode="edge").astype(x.dtype)
+
+
+class Upsampler(nn.Module):
+    """PixelShuffle upsampling ladder for 2^n / 3x scales.
+
+    Ref: module_util.py:207-234 — conv to r^2*feats then depth-to-space per
+    stage (bn/act options omitted: the reference never enables them).
+    """
+
+    scale: int
+    n_feats: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if (self.scale & (self.scale - 1)) == 0:  # power of two
+            for _ in range(int(math.log2(self.scale))):
+                x = conv(4 * self.n_feats, 3, use_bias=self.use_bias, dtype=self.dtype)(x)
+                x = pixel_shuffle(x, 2)
+        elif self.scale == 3:
+            x = conv(9 * self.n_feats, 3, use_bias=self.use_bias, dtype=self.dtype)(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise NotImplementedError(f"Upsampler scale {self.scale}")
+        return x
+
+
+def kaiming_normal_init(scale: float = 1.0):
+    """Kaiming-normal (fan_in) initializer with a residual-scale multiplier.
+
+    Ref: module_util.py:237-254 (initialize_weights) — offered as an opt-in
+    initializer; the reference defines it but the diffusion nets never call
+    it, so flax defaults are the effective parity.
+    """
+    base = nn.initializers.variance_scaling(2.0 * scale * scale, "fan_in", "normal")
+    return base

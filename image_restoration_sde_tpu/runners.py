@@ -128,6 +128,9 @@ class _Base:
             weight=float(t["weight"] or 1.0),
         )
 
+    def _remat(self):
+        return bool(self.train_opt.get("remat"))
+
     def n_params(self):
         return sum(
             sum(p.size for p in jax.tree.leaves(tree)) for tree in self.params_trees().values()
@@ -157,7 +160,7 @@ class PixelDiffusionTask(_Base):
         params = _init_params(self.net, base_key, (1, gt_size, gt_size, in_nc))
         self.state = create_train_state(params, self.tx)
         self._train_step = make_train_step(
-            self.sde, self.net.apply, self.tx, **self._loss_kwargs()
+            self.sde, self.net.apply, self.tx, remat=self._remat(), **self._loss_kwargs()
         )
         self._jit_step = jax.jit(self._train_step, donate_argnums=0)
         mode = opt["sde"]["sampling_mode"] or "sde"

@@ -54,13 +54,18 @@ def make_train_step(
     is_weighted: bool = False,
     weight: float = 1.0,
     ema_cfg: EmaConfig = EmaConfig(),
+    remat: bool = False,
 ) -> Callable:
     """Build the IR-SDE train step.
 
     Returned signature: ``(state, lq, gt, key) -> (state, metrics)`` with
     NHWC ``lq``/``gt`` and a per-run base PRNG key (folded with the step so
-    timestep/noise draws are i.i.d. per iteration).
+    timestep/noise draws are i.i.d. per iteration).  ``remat=True``
+    rematerializes the score-net forward in the backward pass (HBM for
+    FLOPs — bigger batches per chip).
     """
+    if remat:
+        model_apply = jax.checkpoint(model_apply)
 
     def train_step(
         state: TrainState, lq: jnp.ndarray, gt: jnp.ndarray, key: jax.Array

@@ -168,3 +168,20 @@ def test_train_step_data_parallel_equivalence(tiny_setup):
     )
     for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_train_step_matches(tiny_setup):
+    # rematerialization changes memory, not math
+    sde, net, params, tx, _ = tiny_setup
+    from image_restoration_sde_tpu.training import make_train_step
+
+    lq = jax.random.uniform(jax.random.PRNGKey(11), (2, 8, 8, 3))
+    gt = jnp.clip(lq + 0.1, 0, 1)
+    key = jax.random.PRNGKey(12)
+    s1 = create_train_state(params, tx)
+    s2 = create_train_state(params, tx)
+    st1, m1 = jax.jit(make_train_step(sde, net.apply, tx, remat=False))(s1, lq, gt, key)
+    st2, m2 = jax.jit(make_train_step(sde, net.apply, tx, remat=True))(s2, lq, gt, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
