@@ -35,6 +35,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     size = int(os.environ.get("BENCH_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     sde = IRSDE.create(max_sigma=10.0, T=100, schedule="cosine", eps=0.005)
     net = ConditionalUNet(in_nc=3, out_nc=3, nf=64, depth=4, dtype=jnp.bfloat16)
@@ -44,7 +45,7 @@ def main():
     params = jax.jit(net.init)(key, lq, lq, jnp.zeros((batch,)))
     tx = build_optimizer("Adam", 1e-4, 0.9, 0.99)
     state = create_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(sde, net.apply, tx), donate_argnums=0)
+    step_fn = jax.jit(make_train_step(sde, net.apply, tx, remat=remat), donate_argnums=0)
 
     state, _ = step_fn(state, lq, gt, key)  # compile
     jax.block_until_ready(state.params)
@@ -65,7 +66,7 @@ def main():
         mfu = float("nan")
 
     print(json.dumps({
-        "metric": f"train images/sec/chip (UNet nf64d4 bf16, {size}px, batch {batch})",
+        "metric": f"train images/sec/chip (UNet nf64d4 bf16, {size}px, batch {batch}{', remat' if remat else ''})",
         "value": round(ips, 3),
         "unit": "img/s/chip",
         "mfu": round(mfu, 4),
