@@ -23,6 +23,7 @@ from .modules import (
     Downsample,
     LinearAttention,
     PreNormResidual,
+    RandomOrLearnedSinusoidalPosEmb,
     ResBlock,
     Upsample,
     check_image_size,
@@ -41,6 +42,10 @@ class ConditionalUNet(nn.Module):
     upscale: int = 1  # kept for config parity; unused (ref: arch.py:23)
     conditional: bool = True  # False = denoising-sde variant: forward(x, t),
     # no LQ concat (ref config/denoising-sde/models/modules/DenoisingUNet_arch.py:84-95)
+    # learned/random Fourier time features (ref arch.py:32-40; default off)
+    random_or_learned_sinusoidal_cond: bool = False
+    learned_sinusoidal_dim: int = 16
+    random_fourier_features: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,7 +65,13 @@ class ConditionalUNet(nn.Module):
 
         # time MLP: sinusoidal(nf) -> Dense(4nf) -> GELU -> Dense(4nf)
         time_dim = self.nf * 4
-        t = sinusoidal_pos_emb(time, self.nf)
+        if self.random_or_learned_sinusoidal_cond:
+            t = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim, self.random_fourier_features,
+                name="sinu_pos_emb",
+            )(time)  # dim + 1 features (raw t prepended)
+        else:
+            t = sinusoidal_pos_emb(time, self.nf)
         t = nn.Dense(time_dim, param_dtype=jnp.float32, name="time_mlp_1")(t)
         t = nn.gelu(t, approximate=False)  # torch nn.GELU() is exact erf
         t = nn.Dense(time_dim, param_dtype=jnp.float32, name="time_mlp_2")(t)

@@ -185,3 +185,48 @@ def test_remat_train_step_matches(tiny_setup):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cosine_annealing_restart_values():
+    from image_restoration_sde_tpu.training.lr_schedules import cosine_annealing_restart
+
+    sched = cosine_annealing_restart(
+        1e-3, t_periods=[100, 200], eta_min=1e-6, restarts=[100], restart_weights=[0.5]
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    # mid-period: eta + (base-eta)(1+cos(pi/2))/2 = (base+eta)/2
+    np.testing.assert_allclose(float(sched(50)), (1e-3 + 1e-6) / 2, rtol=1e-5)
+    # restart resets to base*weight with the new period
+    np.testing.assert_allclose(float(sched(100)), 0.5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(200)), (0.5e-3 + 1e-6) / 2, rtol=1e-5)
+
+
+def test_effective_distortion_inference():
+    from image_restoration_sde_tpu.runners import effective_distortion
+    from image_restoration_sde_tpu.utils.options import dict_to_nonedict
+
+    # mask_root wins even when the shipped config says 'derain'
+    opt = dict_to_nonedict({"distortion": "derain",
+                            "degradation": {"mask_root": "/x"}, "datasets": {}})
+    assert effective_distortion(opt) == "inpainting"
+    opt = dict_to_nonedict({"distortion": "sr", "degradation": {}, "datasets": {}})
+    assert effective_distortion(opt) == "sr"
+    # GT-mode dataset without a distortion key -> gaussian denoising
+    opt = dict_to_nonedict({"degradation": {},
+                            "datasets": {"train": {"mode": "GT"}}})
+    assert effective_distortion(opt) == "denoising"
+    opt = dict_to_nonedict({"distortion": "deblur", "degradation": {}, "datasets": {}})
+    assert effective_distortion(opt) == "deblur"
+
+
+def test_unet_learned_sinusoidal_flag():
+    from image_restoration_sde_tpu.models import ConditionalUNet
+
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2,
+                          random_or_learned_sinusoidal_cond=True)
+    x = jnp.ones((1, 8, 8, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert any("sinu_pos_emb" in "/".join(str(k.key) for k in p) for p, _ in flat)
+    out = jax.jit(net.apply)(params, x, x, jnp.array([1.0]))
+    assert out.shape == (1, 8, 8, 3)
