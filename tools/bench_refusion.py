@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Refusion latent-pipeline benchmark: full restoration of 1024x1024 images
+(the NTIRE HR-dehazing configuration — compressor encode, 100-step reverse
+SDE on 8-ch 1/16-res latents with ConditionalNAFNet w64 [1,1,1,28], decode
+with LQ skips). Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+if os.environ.get("IRSDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
+import jax.numpy as jnp
+
+from image_restoration_sde_tpu.models.latent_unet import UNet
+from image_restoration_sde_tpu.models.nafnet import ConditionalNAFNet
+from image_restoration_sde_tpu.sde import IRSDE
+from image_restoration_sde_tpu.training.latent import make_latent_sampler
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    sde = IRSDE.create(max_sigma=50.0, T=steps, schedule="cosine", eps=0.005)
+    compressor = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(4, 8, 8, 16), embed_dim=8,
+                      dtype=jnp.bfloat16)
+    score = ConditionalNAFNet(
+        img_channel=8, width=64, middle_blk_num=1,
+        enc_blk_nums=(1, 1, 1, 28), dec_blk_nums=(1, 1, 1, 1), dtype=jnp.bfloat16,
+    )
+
+    key = jax.random.PRNGKey(0)
+    lq = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+    lat_params = jax.jit(compressor.init)(key, lq)
+    lat_dummy = jnp.zeros((batch, size // 16, size // 16, 8), jnp.float32)
+    params = jax.jit(score.init)(key, lat_dummy, lat_dummy, jnp.zeros((batch,)))
+
+    def encode_fn(p, x):
+        return compressor.apply(p, x, method=compressor.encode)
+
+    def decode_fn(p, l, h):
+        return compressor.apply(p, l, h, method=compressor.decode)
+
+    sampler = make_latent_sampler(sde, score.apply, encode_fn, decode_fn, lat_params, mode="sde")
+    out = sampler(params, lq, key)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sampler(params, lq, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, NAFNet w64)",
+        "value": round(batch * reps / dt, 4),
+        "unit": "img/s/chip",
+        "sec_per_image": round(dt / (batch * reps), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
