@@ -90,8 +90,8 @@ def test_jit_and_grad(small_unet):
 
 
 def test_bf16_compute_path():
-    net = ConditionalUNet(dtype=jnp.bfloat16, **SMALL)
-    x = jnp.ones((1, 16, 16, 3)) * 0.5
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 8, 8, 3)) * 0.5
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
     # params stay f32, output returns f32
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))

@@ -51,3 +51,34 @@ def test_channel_layernorm_grads():
     g1 = jax.jit(jax.grad(lambda a: jnp.sum(channel_layernorm(a, g, 1e-5, True, True) ** 3)))(x)
     g2 = jax.jit(jax.grad(lambda a: jnp.sum(_jnp_ln(a, g, 1e-5) ** 3)))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_naf_stack_kernel_matches_flax_blocks():
+    # kernel output == the flax NAFBlock stack, via stacked params
+    from image_restoration_sde_tpu.models.nafnet import NAFBlock
+    from image_restoration_sde_tpu.models.modules import simple_gate
+    from image_restoration_sde_tpu.ops.naf_stack import naf_stack, stack_middle_params
+    from flax import linen as nn
+
+    K, B, H, W, C = 3, 2, 8, 8, 32
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, t):
+            for i in range(K):
+                x = NAFBlock(C, name=f"mid_block{i}")(x, t)
+            return x
+
+    net = Stack()
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C)) * 0.2
+    temb = jax.random.normal(jax.random.PRNGKey(1), (B, 16))
+    params = jax.jit(net.init)(jax.random.PRNGKey(2), x, temb)
+    want = jax.jit(net.apply)(params, x, temb)
+
+    stacked = stack_middle_params(params, temb, K)
+    got = jax.jit(lambda a, s: naf_stack(a, s, 1e-5, True, True))(x, stacked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # jnp fallback agrees too
+    got2 = jax.jit(lambda a, s: naf_stack(a, s, 1e-5, False, False))(x, stacked)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-5)
