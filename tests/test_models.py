@@ -144,3 +144,40 @@ def test_torch_import_rules_cover_all_leaves(small_unet):
     bad_rules.pop("init_conv/kernel")
     with pytest.raises(ValueError, match="no torch mapping"):
         apply_rules(params, state_dict, bad_rules)
+
+
+def test_torch_pth_roundtrip(tmp_path, small_unet):
+    # a real .pth file (torch.save, 'module.' prefixes) loads through
+    # checkpoint.load_params with the arch rules
+    torch = pytest.importorskip("torch")
+    from jax.tree_util import tree_flatten_with_path
+
+    from image_restoration_sde_tpu.training.checkpoint import load_params
+
+    _, params = small_unet
+    rules = unet_key_rules(depth=SMALL["depth"])
+    flat, _ = tree_flatten_with_path(params)
+    rng = np.random.RandomState(7)
+    sd = {}
+    for path, leaf in flat:
+        fpath = "/".join(str(k.key) for k in path)[len("params/"):]
+        tkey, tf = rules[fpath]
+        if tf.__name__ == "_conv_w":
+            kh, kw, cin, cout = leaf.shape
+            w = rng.rand(cout, cin, kh, kw)
+        elif tf.__name__ == "_dense_w":
+            cin, cout = leaf.shape
+            w = rng.rand(cout, cin)
+        elif tf.__name__ == "_norm_g":
+            w = rng.rand(1, leaf.shape[0], 1, 1)
+        else:
+            w = rng.rand(*leaf.shape)
+        sd["module." + tkey] = torch.from_numpy(w.astype(np.float32))
+    pth = tmp_path / "ckpt.pth"
+    torch.save(sd, pth)
+
+    loaded = load_params(str(pth), params, torch_rules=rules)
+    got = np.asarray(jax.tree.leaves(loaded)[0])
+    assert got.shape == jax.tree.leaves(params)[0].shape
+    # values actually came from the file, not the init
+    assert not np.allclose(got, np.asarray(jax.tree.leaves(params)[0]))
