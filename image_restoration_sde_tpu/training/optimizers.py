@@ -51,11 +51,20 @@ def _scale_by_lr(learning_rate: ScalarOrSchedule) -> optax.GradientTransformatio
 
 
 def build_from_options(train_opt: dict, learning_rate: ScalarOrSchedule):
-    """Build from a reference-format ``train:`` dict (YAML surface parity)."""
-    return build_optimizer(
+    """Build from a reference-format ``train:`` dict (YAML surface parity).
+
+    ``train.grad_accum: k`` (ours; absent upstream) wraps the optimizer in
+    optax.MultiSteps — gradients average over k micro-steps and the update
+    applies every k-th call (LR schedule advances per effective update).
+    """
+    tx = build_optimizer(
         train_opt.get("optimizer") or "Adam",
         learning_rate,
         beta1=float(train_opt.get("beta1") or 0.9),
         beta2=float(train_opt.get("beta2") or 0.999),
         weight_decay=float(train_opt.get("weight_decay_G") or 0.0),
     )
+    k = int(train_opt.get("grad_accum") or 1)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx
