@@ -123,7 +123,8 @@ def main():
             if has_gt:
                 gt_img = tensor2img(batch["GT"][0])
                 save_img(gt_img, os.path.join(out_dir, f"{base}_GT.png"))
-                crop = int(opt["crop_border"] or 0)
+                # ref test.py: crop_border defaults to the sr scale
+                crop = int(opt["crop_border"] or (opt["degradation"]["scale"] if opt["distortion"] == "sr" else 0) or 0)
                 o, g = out_img, gt_img
                 if crop:
                     o, g = o[crop:-crop, crop:-crop], g[crop:-crop, crop:-crop]
