@@ -28,13 +28,21 @@ _CKPTR = None
 
 
 def _ckptr():
-    # singleton: repeatedly constructing StandardCheckpointer tears down its
-    # async executor on GC and later saves crash with "cannot schedule new
-    # futures after shutdown"
+    # Singleton AsyncCheckpointer: saves return as soon as device arrays are
+    # copied to host; serialization overlaps training (the reference blocks
+    # on torch.save). finalize_checkpoints() drains pending writes at exit.
+    # (Also: repeatedly constructing checkpointers tears down their executor
+    # on GC and later saves crash with "cannot schedule new futures".)
     global _CKPTR
     if _CKPTR is None:
-        _CKPTR = ocp.StandardCheckpointer()
+        _CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all in-flight async saves are durable."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def save_params(models_dir: str, params: Any, label: str) -> str:
@@ -45,6 +53,7 @@ def save_params(models_dir: str, params: Any, label: str) -> str:
 
 def load_params(path: str, abstract_params: Any, torch_rules: Optional[dict] = None):
     """Load weights from an orbax dir or a reference ``.pth``."""
+    wait_for_checkpoints()  # a just-written checkpoint must be durable
     if path.endswith(".pth"):
         from ..utils.torch_import import apply_rules, load_torch_state_dict
 
@@ -67,6 +76,7 @@ def save_training_state(
 
 
 def load_training_state(path: str, abstract_state: TrainState) -> Tuple[TrainState, int, int]:
+    wait_for_checkpoints()
     abstract = {
         "state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state),
         "epoch": np.asarray(0),
@@ -86,9 +96,10 @@ def save_checkpoint(
 
 
 def finalize_checkpoints() -> None:
-    """Close the singleton checkpointer before interpreter shutdown (its
-    background executor otherwise races atexit and spams tracebacks)."""
+    """Drain pending saves and close the singleton checkpointer before
+    interpreter shutdown (its background executor otherwise races atexit)."""
     global _CKPTR
     if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
         _CKPTR.close()
         _CKPTR = None
