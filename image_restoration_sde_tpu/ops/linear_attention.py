@@ -93,6 +93,77 @@ def _fits_vmem(N: int, d: int) -> bool:
     return N * d * 4 <= _BLOCK_LIMIT_BYTES and N % 128 == 0
 
 
+# --------------------------------------------------- streaming (N-tiled)
+_STREAM_TILE = 2048
+
+
+def _stream_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, s_sc, ctx_sc, *, n_total):
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when((ph == 0) & (t == 0))
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, -jnp.inf)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        ctx_sc[:] = jnp.zeros_like(ctx_sc)
+
+    @pl.when(ph == 0)
+    def _():
+        k = k_ref[0].astype(jnp.float32)  # (d, Nt)
+        v = v_ref[0].astype(jnp.float32)
+        m_old = m_sc[:, :1]
+        mt = jnp.max(k, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_old, mt)
+        corr = jnp.exp(m_old - m_new)  # (d, 1)
+        ke = jnp.exp(k - m_new)
+        s_sc[:, :1] = s_sc[:, :1] * corr + jnp.sum(ke, axis=1, keepdims=True)
+        ctx_sc[:] = ctx_sc[:] * corr + jax.lax.dot_general(
+            ke, v / n_total, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_sc[:, :1] = m_new
+
+    @pl.when(ph == 1)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # (d, Nt)
+        d = q.shape[0]
+        qs = jnp.exp(q - jnp.max(q, axis=0, keepdims=True))
+        qs = qs / jnp.sum(qs, axis=0, keepdims=True) * (d**-0.5)
+        context = ctx_sc[:] / s_sc[:, :1]  # (d, e)
+        o_ref[0] = jax.lax.dot_general(
+            context, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _pallas_linear_attention_streaming(q, k, v, *, tile=_STREAM_TILE, interpret=False):
+    BH, N, d = q.shape
+    NT = N // tile
+    qT = q.transpose(0, 2, 1)
+    kT = k.transpose(0, 2, 1)
+    vT = v.transpose(0, 2, 1)
+    spec = pl.BlockSpec((1, d, tile), lambda b, ph, t: (b, 0, t), memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
+        partial(_stream_kernel, n_total=N),
+        grid=(BH, 2, NT),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BH, d, N), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d, 128), jnp.float32),  # running max (col 0 used)
+            pltpu.VMEM((d, 128), jnp.float32),  # running sum
+            pltpu.VMEM((d, d), jnp.float32),    # context accumulator
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 2**20),
+    )(qT, kT, vT)
+    return outT.transpose(0, 2, 1)
+
+
+def _fits_streaming(N: int, d: int) -> bool:
+    return N % _STREAM_TILE == 0 and N > _BLOCK_LIMIT_BYTES // (d * 4)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def linear_attention(q, k, v, use_pallas: bool = True, interpret: bool = False):
     """(BH, N, d) fused linear attention; differentiable."""
@@ -102,8 +173,11 @@ def linear_attention(q, k, v, use_pallas: bool = True, interpret: bool = False):
 def _forward(q, k, v, use_pallas, interpret):
     N, d = q.shape[-2], q.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and _fits_vmem(N, d) and (on_tpu or interpret):
-        return _pallas_linear_attention(q, k, v, interpret=interpret)
+    if use_pallas and (on_tpu or interpret):
+        if _fits_vmem(N, d):
+            return _pallas_linear_attention(q, k, v, interpret=interpret)
+        if _fits_streaming(N, d):
+            return _pallas_linear_attention_streaming(q, k, v, interpret=interpret)
     return _jnp_linear_attention(q, k, v)
 
 

@@ -82,3 +82,17 @@ def test_naf_stack_kernel_matches_flax_blocks():
     # jnp fallback agrees too
     got2 = jax.jit(lambda a, s: naf_stack(a, s, 1e-5, False, False))(x, stacked)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-5)
+
+
+def test_streaming_linear_attention_matches_reference():
+    from image_restoration_sde_tpu.ops.linear_attention import (
+        _pallas_linear_attention_streaming,
+    )
+
+    key = jax.random.PRNGKey(3)
+    q, k, v = jax.random.normal(key, (3, 2, 4096, 32))
+    ref = _jnp_linear_attention(q, k, v)
+    got = jax.jit(
+        lambda a, b, c: _pallas_linear_attention_streaming(a, b, c, tile=1024, interpret=True)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
