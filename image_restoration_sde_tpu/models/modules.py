@@ -368,3 +368,9 @@ def kaiming_normal_init(scale: float = 1.0):
     """
     base = nn.initializers.variance_scaling(2.0 * scale * scale, "fan_in", "normal")
     return base
+
+
+def group_norm(num_channels: int, dtype: Dtype = jnp.float32) -> nn.GroupNorm:
+    """32-group GroupNorm (module_util.py:66-67 `Normalize`; defined upstream
+    but unused by the shipped architectures — provided for completeness)."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, param_dtype=jnp.float32)
