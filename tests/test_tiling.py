@@ -51,3 +51,33 @@ def test_fixed_tile_shape_for_all_calls():
     tiled_restore(sample_fn, None, img, None, tile=64, overlap=16, tile_batch=2)
     assert len({s[1:] for s in shapes}) == 1  # single compiled tile shape
     assert len({s[0] for s in shapes}) == 1  # single batch shape
+
+
+def test_pad_to_bucket_and_unpad():
+    import jax.numpy as jnp
+
+    from image_restoration_sde_tpu.sampling import pad_to_bucket, unpad
+
+    x = np.random.RandomState(0).rand(1, 50, 70, 3).astype(np.float32)
+    padded, hw = pad_to_bucket(x, 64)
+    assert padded.shape == (1, 64, 128, 3) and hw == (50, 70)
+    # reflect padding: no new extremes
+    assert padded.min() >= x.min() and padded.max() <= x.max()
+    back = np.asarray(unpad(jnp.asarray(padded), hw))
+    np.testing.assert_array_equal(back, x)
+    # already-aligned input is untouched
+    y = np.zeros((1, 64, 64, 3), np.float32)
+    p2, hw2 = pad_to_bucket(y, 64)
+    assert p2 is y and hw2 == (64, 64)
+
+
+def test_sampler_mode_validation():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from image_restoration_sde_tpu.sampling import make_restoration_sampler
+    from image_restoration_sde_tpu.sde import IRSDE
+
+    sde = IRSDE.create(10.0, 4)
+    with _pytest.raises(ValueError, match="sampling mode"):
+        make_restoration_sampler(sde, lambda *a: None, mode="bogus")
