@@ -17,6 +17,34 @@ def test_dryrun_multichip_8():
     mod.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_bootstraps_from_short_platform():
+    """Driver contract: on a platform with fewer than n devices (the real
+    environment is a 1-chip TPU), dryrun_multichip must re-exec itself onto
+    a virtual n-device CPU platform instead of failing (VERDICT r1 item 1)."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("_IRSDE_DRYRUN_CHILD", None)
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {os.path.abspath(repo)!r})\n"
+        "import __graft_entry__\n"
+        "assert len(jax.devices()) == 1\n"
+        "__graft_entry__.dryrun_multichip(4)\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip OK" in res.stdout
+    assert "'data': 2, 'model': 2" in res.stdout
+
+
 def test_shape_based_tp_sharding_rule():
     import numpy as np
     from jax.sharding import PartitionSpec as P
