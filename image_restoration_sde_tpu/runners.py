@@ -97,6 +97,16 @@ def _make_irsde(sde_opt) -> IRSDE:
     )
 
 
+def _torch_rules_if_pth(path, which, setting):
+    """Key rules for importing a reference ``.pth`` into net ``which`` —
+    None for orbax paths (load_params dispatches on the extension)."""
+    if path and str(path).endswith(".pth"):
+        from .utils.torch_import import rules_for_network
+
+        return rules_for_network(which, setting)
+    return None
+
+
 def _init_params(net, key, shape, n_args=3):
     dummy = jnp.zeros(shape, jnp.float32)
     if n_args == 3:
@@ -151,6 +161,7 @@ class PixelDiffusionTask(_Base):
             # the stereo-sr task dir ships its own ConditionalNAFNet with
             # SCAM fusion under the same class name (SURVEY §2.2)
             which = "StereoConditionalNAFNet"
+        self.which, self.setting = which, setting
         self.net = build_network(which, setting)
         self.sde = _make_irsde(opt["sde"])
         gt_size = int(opt["datasets"]["train"]["GT_size"]) if opt["is_train"] else 64
@@ -174,7 +185,10 @@ class PixelDiffusionTask(_Base):
         load_path = self.opt["path"]["pretrain_model_G"]
         if load_path and not resume:
             self.state = self.state.replace(
-                params=load_params(load_path, self.state.params)
+                params=load_params(
+                    load_path, self.state.params,
+                    torch_rules=_torch_rules_if_pth(load_path, self.which, self.setting),
+                )
             )
 
     def prepare_pair(self, batch) -> Tuple[np.ndarray, np.ndarray]:
@@ -235,6 +249,7 @@ class GaussianDenoisingTask(_Base):
         which, setting = options.network_setting(opt)
         setting = dict(setting)
         setting["conditional"] = False
+        self.which, self.setting = which, setting
         self.net = build_network(which, setting)
         sde_opt = opt["sde"]
         self.sde = DenoisingSDE.create(
@@ -265,7 +280,12 @@ class GaussianDenoisingTask(_Base):
     def maybe_load_pretrained(self, resume: bool):
         load_path = self.opt["path"]["pretrain_model_G"]
         if load_path and not resume:
-            self.state = self.state.replace(params=load_params(load_path, self.state.params))
+            self.state = self.state.replace(
+                params=load_params(
+                    load_path, self.state.params,
+                    torch_rules=_torch_rules_if_pth(load_path, self.which, self.setting),
+                )
+            )
 
     def step(self, state, batch, key):
         gt = shard_batch(jnp.asarray(batch["GT"]), self.mesh)
@@ -325,8 +345,8 @@ class CompressorTask(_Base):
         self._jit_step = jax.jit(
             make_compressor_train_step(
                 encode_fn, decode_fn, self.tx,
-                loss_type=opt["train"]["loss_type"] or "l1",
-                weight=float(opt["train"]["weight"] or 1.0),
+                loss_type=self.train_opt["loss_type"] or "l1",
+                weight=float(self.train_opt["weight"] or 1.0),
             ),
             donate_argnums=0,
         )
@@ -345,7 +365,14 @@ class CompressorTask(_Base):
     def maybe_load_pretrained(self, resume: bool):
         load_path = self.opt["path"]["pretrain_model_L"] or self.opt["path"]["pretrain_model_G"]
         if load_path and not resume:
-            self.state = self.state.replace(params=load_params(load_path, self.state.params))
+            key = "network_L" if self.opt["network_L"] else "network_G"
+            which, setting = options.network_setting(self.opt, key)
+            self.state = self.state.replace(
+                params=load_params(
+                    load_path, self.state.params,
+                    torch_rules=_torch_rules_if_pth(load_path, which, setting),
+                )
+            )
 
     def step(self, state, batch, key):
         lq, gt = shard_batch((jnp.asarray(batch["LQ"]), jnp.asarray(batch["GT"])), self.mesh)
@@ -441,7 +468,13 @@ class LatentDiffusionTask(_Base):
             self.latent_params = load_params(load_l, self.latent_params, torch_rules=rules)
         load_g = self.opt["path"]["pretrain_model_G"]
         if load_g and not resume:
-            self.state = self.state.replace(params=load_params(load_g, self.state.params))
+            which_g, setting_g = options.network_setting(self.opt, "network_G")
+            self.state = self.state.replace(
+                params=load_params(
+                    load_g, self.state.params,
+                    torch_rules=_torch_rules_if_pth(load_g, which_g, setting_g),
+                )
+            )
         self._build_fns()
 
     def step(self, state, batch, key):
@@ -483,8 +516,9 @@ class LatentDiffusionTask(_Base):
 class BokehLatentDiffusionTask(LatentDiffusionTask):
     """Latent diffusion with lens conditioning (ref latent-bokeh task:
     latent_denoising_model.py:143-189 — lens_info kwarg flows through
-    sde.noise_fn into the score net; EMA disabled upstream is preserved by
-    the shared EMA config remaining inert until warmup anyway)."""
+    sde.noise_fn into the score net).  Reuses the shared latent train
+    step/sampler via their ``cond`` hook; EMA is disabled, matching the
+    reference bokeh variant which comments the EMA update out."""
 
     def __init__(self, opt, mesh, seed, base_key):
         which_g, _ = options.network_setting(opt, "network_G")
@@ -508,75 +542,34 @@ class BokehLatentDiffusionTask(LatentDiffusionTask):
         )
 
     def _build_fns(self):
-        from . import training as _t
-        from .training import ema as ema_lib
-        from .training.losses import matching_loss
-        from .training.trainer import TrainState as TS
-        import optax
+        net_apply = self.net.apply
 
-        sde, net_apply = self.sde, self.net.apply
-        encode_fn, decode_fn = self.encode_fn, self.decode_fn
-        latent_params = jax.lax.stop_gradient(self.latent_params)
-        tx = self.tx
-        kw = self._loss_kwargs()
+        def apply_with_lens(params, xt, cond, tvec, lens):
+            return net_apply(params, xt, cond, tvec, lens_info=lens)
 
-        def train_step(state, lq, gt, lens, key):
-            key = jax.random.fold_in(key, state.step)
-            latent_lq, _ = encode_fn(latent_params, lq)
-            latent_gt, _ = encode_fn(latent_params, gt)
-            latent_lq = jax.lax.stop_gradient(latent_lq)
-            latent_gt = jax.lax.stop_gradient(latent_gt)
-            timesteps, xt = sde.generate_random_states(key, latent_gt, latent_lq)
-            tvec = timesteps.reshape(-1)
-
-            def loss_fn(params):
-                noise = net_apply(params, xt, latent_lq, tvec, lens_info=lens)
-                score = sde.score_from_noise(noise, timesteps)
-                pred = sde.reverse_sde_step_mean(xt, latent_lq, score, timesteps)
-                target = sde.reverse_optimum_step(xt, latent_gt, latent_lq, timesteps)
-                return kw["weight"] * matching_loss(pred, target, kw["loss_type"])
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            ema_state = ema_lib.update(state.ema, params)
-            return TS(step=state.step + 1, params=params, opt_state=opt_state, ema=ema_state), {"loss": loss}
-
-        self._jit_step = jax.jit(train_step, donate_argnums=0)
-
-        from .sde import samplers as _samplers
-
-        mode, steps = self._mode, self._steps
-
-        @jax.jit
-        def sample(params, lq, lens, key):
-            latent_lq, hidden = encode_fn(latent_params, lq)
-            k_init, k_chain = jax.random.split(key)
-            noisy = sde.noise_state(k_init, latent_lq)
-
-            def noise_fn(x, mu, tvec):
-                return net_apply(params, x, mu, tvec, lens_info=lens)
-
-            if mode == "posterior":
-                latent = _samplers.reverse_posterior(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
-            else:
-                latent = _samplers.reverse_sde(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)
-            H, W = lq.shape[1], lq.shape[2]
-            return decode_fn(latent_params, latent, hidden)[:, :H, :W, :]
-
-        self._sampler = sample
+        self._jit_step = jax.jit(
+            make_latent_train_step(
+                self.sde, apply_with_lens, self.encode_fn, self.latent_params,
+                self.tx, ema_enabled=False, **self._loss_kwargs(),
+            ),
+            donate_argnums=0,
+        )
+        self._sampler = make_latent_sampler(
+            self.sde, apply_with_lens, self.encode_fn, self.decode_fn,
+            self.latent_params, mode=self._mode, steps=self._steps,
+        )
 
     def step(self, state, batch, key):
         if self._sampler is None:
             self._build_fns()
         lq, gt = shard_batch((jnp.asarray(batch["LQ"]), jnp.asarray(batch["GT"])), self.mesh)
-        return self._jit_step(state, lq, gt, self._lens(batch), key)
+        return self._jit_step(state, lq, gt, key, self._lens(batch))
 
     def infer(self, params, batch, key):
         if self._sampler is None:
             self._build_fns()
         vlq, hw = pad_to_bucket(np.asarray(batch["LQ"]), 64)
-        out = unpad(self._sampler(params, jnp.asarray(vlq), self._lens(batch), key), hw)
+        out = unpad(self._sampler(params, jnp.asarray(vlq), key, self._lens(batch)), hw)
         return np.asarray(out), np.asarray(batch["LQ"])
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:

@@ -84,15 +84,23 @@ def make_latent_train_step(
     is_weighted: bool = False,
     weight: float = 1.0,
     ema_cfg: EmaConfig = EmaConfig(),
+    ema_enabled: bool = True,
 ) -> Callable:
-    """(state, lq, gt, key) -> (state, metrics): diffusion on latents.
+    """(state, lq, gt, key[, cond]) -> (state, metrics): diffusion on latents.
 
     The compressor's params are closed over with stop_gradient (parity with
     requires_grad=False, ref latent_denoising_model.py:39-43).
+
+    ``cond`` is an optional extra-conditioning pytree forwarded to
+    ``model_apply(params, xt, latent_lq, tvec, cond)`` — the bokeh task's
+    lens tuple flows through here (ref latent-bokeh
+    latent_denoising_model.py:161-174 passes lens_info via sde.noise_fn).
+    ``ema_enabled=False`` reproduces the bokeh variant, whose reference
+    comments the EMA update out.
     """
     frozen = jax.lax.stop_gradient(latent_params)
 
-    def train_step(state: TrainState, lq, gt, key):
+    def train_step(state: TrainState, lq, gt, key, cond=None):
         key = jax.random.fold_in(key, state.step)
         latent_lq, _ = encode_fn(frozen, lq)
         latent_gt, _ = encode_fn(frozen, gt)
@@ -102,7 +110,10 @@ def make_latent_train_step(
         tvec = timesteps.reshape(-1)
 
         def loss_fn(params):
-            noise = model_apply(params, xt, latent_lq, tvec)
+            if cond is None:
+                noise = model_apply(params, xt, latent_lq, tvec)
+            else:
+                noise = model_apply(params, xt, latent_lq, tvec, cond)
             score = sde.score_from_noise(noise, timesteps)
             pred = sde.reverse_sde_step_mean(xt, latent_lq, score, timesteps)
             target = sde.reverse_optimum_step(xt, latent_gt, latent_lq, timesteps)
@@ -112,7 +123,7 @@ def make_latent_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_state = ema_lib.update(state.ema, params, ema_cfg)
+        ema_state = ema_lib.update(state.ema, params, ema_cfg) if ema_enabled else state.ema
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state, ema=ema_state),
             {"loss": loss},
@@ -130,18 +141,22 @@ def make_latent_sampler(
     mode: str = "sde",
     steps: Optional[int] = None,
 ):
-    """jitted ``sample(params, lq, key) -> restored image``: encode LQ,
-    noise the latent, reverse-diffuse, decode with the LQ skips."""
+    """jitted ``sample(params, lq, key[, cond]) -> restored image``: encode
+    LQ, noise the latent, reverse-diffuse, decode with the LQ skips.  The
+    optional ``cond`` pytree (e.g. the bokeh lens tuple) is forwarded to
+    ``model_apply`` each step."""
     from ..sde import samplers
 
     @jax.jit
-    def sample(params, lq, key):
+    def sample(params, lq, key, cond=None):
         latent_lq, hidden = encode_fn(latent_params, lq)
         k_init, k_chain = jax.random.split(key)
         noisy = sde.noise_state(k_init, latent_lq)
 
         def noise_fn(x, mu, tvec):
-            return model_apply(params, x, mu, tvec)
+            if cond is None:
+                return model_apply(params, x, mu, tvec)
+            return model_apply(params, x, mu, tvec, cond)
 
         if mode == "sde":
             latent = samplers.reverse_sde(sde, noise_fn, noisy, latent_lq, k_chain, steps=steps)

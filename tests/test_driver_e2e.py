@@ -37,6 +37,69 @@ def _run(script, opt_path):
     )
 
 
+def test_inpainting_train_then_test_with_generated_masks(tmp_path):
+    """Inpainting runs out of the box: procedural mask bank (tools/gen_masks)
+    + GT-only dataset + mask_root degradation (ref deg_utils.py:19-34 and the
+    shipped gt_keep_masks layout)."""
+    import yaml
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_masks
+
+    mask_root = tmp_path / "gt_keep_masks"
+    gen_masks.generate(str(mask_root), seed=0, n=4)
+    assert (mask_root / "thin" / "000003.png").exists()
+    assert (mask_root / "genhalf" / "000000.png").exists()
+
+    _write_dataset(tmp_path)
+    common = {
+        "sde": {"max_sigma": 30, "T": 4, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "sde"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4,
+                        "mask_root": str(mask_root / "thin")},
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+    }
+    train_cfg = {
+        "name": "inp", "use_tb_logger": False, "model": "denoising",
+        "distortion": "inpainting", "gpu_ids": [0], **common,
+        "datasets": {
+            "train": {"name": "t", "mode": "GT",
+                      "dataroot_GT": str(tmp_path / "train" / "GT"),
+                      "n_workers": 1, "batch_size": 2, "GT_size": 16,
+                      "use_flip": True, "use_rot": True,
+                      "dataset_enlarge_ratio": 4},
+        },
+        "path": {"root": str(tmp_path / "run")},
+        "train": {"optimizer": "Adam", "lr_G": 1e-4, "lr_scheme": "MultiStepLR",
+                  "beta1": 0.9, "beta2": 0.99, "niter": 3, "warmup_iter": -1,
+                  "lr_steps": [], "is_weighted": False, "loss_type": "l1",
+                  "weight": 1.0, "manual_seed": 1, "val_freq": 100},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 3},
+    }
+    opt_path = tmp_path / "inp_train.yml"
+    yaml.safe_dump(train_cfg, open(opt_path, "w"))
+    r = _run("train.py", opt_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import glob
+
+    hits = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "inp" / "models" / "3_G"))
+    assert hits, r.stderr[-2000:]
+
+    test_cfg = {
+        "name": "inp-test", "model": "denoising", "distortion": "inpainting",
+        "gpu_ids": [0], "seed": 0, **common,
+        "datasets": {"test1": {"name": "valset", "mode": "GT",
+                               "dataroot_GT": str(tmp_path / "val" / "GT")}},
+        "path": {"pretrain_model_G": hits[0], "root": str(tmp_path / "run")},
+    }
+    opt_path2 = tmp_path / "inp_test.yml"
+    yaml.safe_dump(test_cfg, open(opt_path2, "w"))
+    r2 = _run("test.py", opt_path2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "avg over 4" in (r2.stdout + r2.stderr)
+
+
 def test_train_then_test_cli(tmp_path):
     _write_dataset(tmp_path)
     import yaml

@@ -232,6 +232,63 @@ def test_unet_learned_sinusoidal_flag():
     assert out.shape == (1, 8, 8, 3)
 
 
+def test_bokeh_task_shared_step_and_ema_disabled():
+    """BokehLatentDiffusionTask reuses the shared latent train step via the
+    cond hook, and — parity with the reference bokeh variant, which comments
+    the EMA update out — leaves EMA params untouched while live params move."""
+    from image_restoration_sde_tpu.runners import build_task
+    from image_restoration_sde_tpu.utils.options import dict_to_nonedict
+
+    opt = dict_to_nonedict({
+        "model": "latent_denoising", "distortion": "bokeh", "is_train": True,
+        "sde": {"max_sigma": 50, "T": 4, "schedule": "cosine", "eps": 0.005},
+        "degradation": {},
+        "datasets": {"train": {"mode": "BokehLQGT", "GT_size": 16, "batch_size": 2}},
+        "network_G": {"which_model": "ConditionalNAFNet",
+                      "setting": {"img_channel": 4, "width": 8,
+                                  "enc_blk_nums": [1, 1], "middle_blk_num": 1,
+                                  "dec_blk_nums": [1, 1]}},
+        "network_L": {"which_model": "UNet",
+                      "setting": {"in_ch": 3, "out_ch": 3, "ch": 4,
+                                  "ch_mult": [1, 2], "embed_dim": 4}},
+        "path": {},
+        "train": {"lr_G": 1e-3, "lr_scheme": "MultiStepLR", "lr_steps": [],
+                  "optimizer": "Adam", "beta1": 0.9, "beta2": 0.99},
+    })
+    mesh = make_mesh()
+    task = build_task(opt, mesh, seed=0, base_key=jax.random.PRNGKey(0))
+    assert type(task).__name__ == "BokehLatentDiffusionTask"
+
+    rs = np.random.RandomState(0)
+    bsz = 8  # divisible by the 8-device data axis
+    batch = {
+        "LQ": rs.rand(bsz, 16, 16, 3).astype(np.float32),
+        "GT": rs.rand(bsz, 16, 16, 3).astype(np.float32),
+        "src_lens": rs.uniform(-8, 8, bsz).astype(np.float32),
+        "tgt_lens": rs.uniform(-8, 8, bsz).astype(np.float32),
+        "disparity": rs.uniform(-10, 10, bsz).astype(np.float32),
+    }
+    state0 = task.state
+    ema0 = jax.tree.map(lambda x: np.asarray(x).copy(), state0.ema.params)
+    state = state0
+    for _ in range(2):
+        state, metrics = task.step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+    # live params moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(ema0))
+    )
+    assert moved
+    # EMA frozen at init (disabled for bokeh)
+    for a, b in zip(jax.tree.leaves(state.ema.params), jax.tree.leaves(ema0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sampler path with lens conditioning
+    out, _ = task.infer(state.params, batch, jax.random.PRNGKey(2))
+    assert out.shape == (bsz, 16, 16, 3)
+
+
 def test_grad_accum_matches_big_batch(tiny_setup):
     # k micro-steps with grad accumulation == one step on the concatenated batch
     sde, net, params, _, _ = tiny_setup

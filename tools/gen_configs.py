@@ -118,7 +118,7 @@ CONFIGS["deraining/test/refusion.yml"] = test_cfg(
      "dataroot_GT": "datasets/Rain100H/GT", "dataroot_LQ": "datasets/Rain100H/LQ"})
 
 CONFIGS["deblurring/train/ir-sde.yml"] = base(
-    "ir-sde", "denoising", "deblur", SDE100(50), UNET,
+    "ir-sde", "denoising", "deblur", SDE100(10), UNET,
     train_block("Adam", 1e-4, "MultiStepLR", 700000),
     dataset("LQGT", "datasets/gopro/train/GT", "datasets/gopro/train/LQ"),
     val_dataset("LQGT", "datasets/gopro/test/GT", "datasets/gopro/test/LQ"))
@@ -131,12 +131,29 @@ CONFIGS["deblurring/test/refusion.yml"] = test_cfg(
     "refusion", "denoising", "deblur", SDE100(50), NAF,
     {"name": "GoPro", "mode": "LQGT",
      "dataroot_GT": "datasets/gopro/test/GT", "dataroot_LQ": "datasets/gopro/test/LQ"})
+CONFIGS["deblurring/test/ir-sde.yml"] = test_cfg(
+    "ir-sde", "denoising", "deblur", SDE100(10), UNET,
+    {"name": "GoPro", "mode": "LQGT",
+     "dataroot_GT": "datasets/gopro/test/GT", "dataroot_LQ": "datasets/gopro/test/LQ"})
 
 CONFIGS["deshadow/train/refusion.yml"] = base(
     "refusion", "denoising", "deshadow", SDE100(50), NAF,
     train_block("Lion", 4e-5, "TrueCosineAnnealingLR", 500000),
     dataset("LQGT", "datasets/shadow/train/GT", "datasets/shadow/train/LQ"),
     val_dataset("LQGT", "datasets/shadow/val/GT", "datasets/shadow/val/LQ"))
+CONFIGS["deshadow/train/ir-sde.yml"] = base(
+    "ir-sde", "denoising", "deshadow", SDE100(10), UNET,
+    train_block("Adam", 1e-4, "MultiStepLR", 700000),
+    dataset("LQGT", "datasets/shadow/train/GT", "datasets/shadow/train/LQ"),
+    val_dataset("LQGT", "datasets/shadow/val/GT", "datasets/shadow/val/LQ"))
+# ref deshadow/options/test/ir-sde.yml ships a smaller deeper net (nf 32, depth 5)
+CONFIGS["deshadow/test/ir-sde.yml"] = test_cfg(
+    "ir-sde", "denoising", "deshadow",
+    {"max_sigma": 30, "T": 100, "schedule": "cosine", "eps": 0.005},
+    {"which_model_G": "ConditionalUNet",
+     "setting": {"in_nc": 3, "out_nc": 3, "nf": 32, "depth": 5}},
+    {"name": "NTIRE23-Shadow", "mode": "LQGT",
+     "dataroot_GT": "datasets/shadow/val/GT", "dataroot_LQ": "datasets/shadow/val/LQ"})
 CONFIGS["deshadow/test/refusion.yml"] = test_cfg(
     "refusion", "denoising", "deshadow", SDE100(50), NAF,
     {"name": "NTIRE23-Shadow", "mode": "LQGT",
@@ -153,6 +170,17 @@ CONFIGS["inpainting/test/ir-sde.yml"] = test_cfg(
     {"name": "CelebaHQ", "mode": "GT", "dataroot_GT": "datasets/celebaHQ/testHQ"},
     extra={"degradation": {"mask_root": "datasets/gt_keep_masks/thin"}})
 
+CONFIGS["inpainting/train/refusion.yml"] = base(
+    "refusion", "denoising", "inpainting", SDE100(50), NAF,
+    train_block("Lion", 4e-5, "TrueCosineAnnealingLR", 700000),
+    dataset("GT", "datasets/celebaHQ/trainHQ", lr_size=None),
+    val_dataset("GT", "datasets/celebaHQ/testHQ"),
+    extra={"degradation": {"mask_root": "datasets/gt_keep_masks/thin"}})
+CONFIGS["inpainting/test/refusion.yml"] = test_cfg(
+    "refusion", "denoising", "inpainting", SDE100(50), NAF,
+    {"name": "CelebaHQ", "mode": "GT", "dataroot_GT": "datasets/celebaHQ/testHQ"},
+    extra={"degradation": {"mask_root": "datasets/gt_keep_masks/thin"}})
+
 CONFIGS["sisr/train/ir-sde.yml"] = base(
     "ir-sde", "denoising", "sr", SDE100(30), UNET,
     train_block("Adam", 1e-4, "MultiStepLR", 700000),
@@ -160,6 +188,17 @@ CONFIGS["sisr/train/ir-sde.yml"] = base(
     val_dataset("LQGT", "datasets/Set5/HR", "datasets/Set5/LRbicx4"))
 CONFIGS["sisr/test/ir-sde.yml"] = test_cfg(
     "ir-sde", "denoising", "sr", SDE100(30), UNET,
+    {"name": "Set5", "mode": "LQGT",
+     "dataroot_GT": "datasets/Set5/HR", "dataroot_LQ": "datasets/Set5/LRbicx4"},
+    extra={"crop_border": 4})
+
+CONFIGS["sisr/train/refusion.yml"] = base(
+    "refusion", "denoising", "sr", SDE100(50), NAF,
+    train_block("Lion", 4e-5, "TrueCosineAnnealingLR", 700000),
+    dataset("LQGT", "datasets/DF2K/HR", "datasets/DF2K/LR_x4", gt_size=128, lr_size=32),
+    val_dataset("LQGT", "datasets/Set5/HR", "datasets/Set5/LRbicx4"))
+CONFIGS["sisr/test/refusion.yml"] = test_cfg(
+    "refusion", "denoising", "sr", SDE100(50), NAF,
     {"name": "Set5", "mode": "LQGT",
      "dataroot_GT": "datasets/Set5/HR", "dataroot_LQ": "datasets/Set5/LRbicx4"},
     extra={"crop_border": 4})
@@ -176,6 +215,21 @@ CONFIGS["denoising/test/ir-sde.yml"] = test_cfg(
     {"max_sigma": 70, "T": 1000, "schedule": "cosine"}, UNET,
     {"name": "McMaster", "mode": "GT", "dataroot_GT": "datasets/McMaster"},
     extra={"degradation": {"sigma": 50}})
+
+CONFIGS["denoising/train/refusion.yml"] = base(
+    "refusion", "denoising", "denoising",
+    {"max_sigma": 70, "T": 1000, "schedule": "cosine"}, NAF,
+    train_block("Lion", 3e-5, "TrueCosineAnnealingLR", 700000, val_freq=1e4),
+    dataset("GT", "datasets/trainHR", lr_size=None, batch=8),
+    val_dataset("GT", "datasets/McMaster"),
+    extra={"degradation": {"sigma": 50},
+           "train": {"eta_min": 1e-6},
+           "logger": {"print_freq": 200, "save_checkpoint_freq": 1e4}})
+CONFIGS["denoising/test/refusion.yml"] = test_cfg(
+    "refusion", "denoising", "denoising",
+    {"max_sigma": 70, "T": 1000, "schedule": "cosine"}, NAF,
+    {"name": "McMaster", "mode": "GT", "dataroot_GT": "datasets/McMaster"},
+    extra={"degradation": {"sigma": 15}})
 
 CONFIGS["stereo-sr/train/refusion.yml"] = base(
     "refusion-ssr", "denoising", "sr", SDE100(50), NAF,
@@ -257,6 +311,18 @@ CONFIGS["latent-bokeh/train/refusion.yml"] = base(
                                      "ch_mult": [1, 2, 4], "embed_dim": 4}},
            "path": {"pretrain_model_L": "pretrained/latent-bokeh-L"},
            "logger": {"print_freq": 200, "save_checkpoint_freq": 1e4}})
+
+
+CONFIGS["latent-bokeh/test/refusion.yml"] = test_cfg(
+    "latent-refusion-bokeh", "latent_denoising", "bokeh", SDE100(50), NAF_BOKEH,
+    {"name": "NTIRE23-Bokeh", "mode": "BokehLQ",
+     "dataroot_LQ": "datasets/bokeh/val/src",
+     "dataroot_meta": "datasets/bokeh/val/meta.txt"},
+    extra={"network_L": {"which_model": "UNet",
+                         "setting": {"in_ch": 3, "out_ch": 3, "ch": 64,
+                                     "ch_mult": [1, 2, 4], "embed_dim": 4}},
+           "path": {"pretrain_model_G": "pretrained/latent-bokeh_G",
+                    "pretrain_model_L": "pretrained/latent-bokeh-L"}})
 
 
 def main():
