@@ -313,6 +313,39 @@ def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
     return x1 * x2
 
 
+def bicubic_resize_weights(in_size: int, out_size: int, a: float = -0.75) -> "np.ndarray":
+    """Dense ``(out, in)`` interpolation matrix equal to torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` along one axis
+    (no antialias; Keys kernel with a=-0.75, indices clamped at borders).
+
+    Shapes are static under jit, so callers bake this at trace time and the
+    resize becomes two small matmuls — MXU-friendly and exactly
+    torch-matching, unlike ``jax.image.resize``'s a=-0.5 cubic.  Used by
+    SCAM's 1/4 downsample (ref stereo-sr DenoisingNAFNet_arch.py:36-37).
+    """
+    import math
+
+    import numpy as np
+
+    w = np.zeros((out_size, in_size), np.float32)
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        f = math.floor(src)
+        t = src - f
+        for off, dist in zip((-1, 0, 1, 2), (t + 1, t, 1 - t, 2 - t)):
+            x = abs(dist)
+            if x <= 1:
+                wk = (a + 2) * x**3 - (a + 3) * x**2 + 1
+            elif x < 2:
+                wk = a * (x**3 - 5 * x**2 + 8 * x - 4)
+            else:
+                wk = 0.0
+            idx = min(max(f + off, 0), in_size - 1)
+            w[i, idx] += wk
+    return w
+
+
 def local_avg_pool(x: jnp.ndarray, k1: int, k2: int) -> jnp.ndarray:
     """TLSC windowed average pooling via integral image, same-size output.
 

@@ -7,10 +7,11 @@ every NAFBlock ends with a Stereo Cross Attention Module — L<->R attention
 over the width dimension at 1/4 scale (cubic down, nearest up), with
 zero-init beta/gamma scales; outputs re-concatenated channel-wise.
 
-Device-side resizes use ``jax.image.resize``: cubic (Keys a=-0.5) for the
-1/4 downsample where torch uses bicubic a=-0.75 — a small kernel-shape
-difference documented here (training from scratch is unaffected; transplant
-parity for this variant is approximate at the resample only).
+The 1/4 downsample inside SCAM matches torch ``F.interpolate`` bicubic
+exactly: a trace-time (out, in) weight matrix per axis (Keys a=-0.75,
+border-clamped — ``modules.bicubic_resize_weights``) applied as two small
+einsum matmuls, which also maps better onto the MXU than a gather-based
+resize.  The resize back up is nearest, like torch's default interpolate.
 """
 
 from __future__ import annotations
@@ -21,7 +22,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import ChannelLayerNorm, check_image_size, pixel_shuffle, simple_gate, sinusoidal_pos_emb
+from .modules import (
+    ChannelLayerNorm,
+    bicubic_resize_weights,
+    check_image_size,
+    pixel_shuffle,
+    simple_gate,
+    sinusoidal_pos_emb,
+)
 from .nafnet import NAFBlock, _conv
 
 
@@ -37,8 +45,15 @@ class SCAM(nn.Module):
         B = B2 // 2
         x_l, x_r = x[:B], x[B:]
         hs, ws = max(H // 4, 1), max(W // 4, 1)
-        x_ls = jax.image.resize(x_l, (B, hs, ws, C), method="cubic")
-        x_rs = jax.image.resize(x_r, (B, hs, ws, C), method="cubic")
+        # torch F.interpolate(scale_factor=0.25, mode='bicubic') parity:
+        # trace-time a=-0.75 weight matrices, applied as matmuls
+        wh = jnp.asarray(bicubic_resize_weights(H, hs))
+        ww = jnp.asarray(bicubic_resize_weights(W, ws))
+        down = lambda z: jnp.einsum(
+            "oh,pw,bhwc->bopc", wh, ww, z.astype(jnp.float32)
+        ).astype(z.dtype)
+        x_ls = down(x_l)
+        x_rs = down(x_r)
 
         q_l = _conv(C, 1, "l_proj1", dtype=self.dtype)(
             ChannelLayerNorm(C, dtype=self.dtype, name="norm_l")(x_ls)

@@ -9,7 +9,10 @@ Torch is only needed when actually loading a ``.pth`` (lazy import); the
 key-mapping itself is pure and is unit-tested against numpy dicts.
 
 Supported: ConditionalUNet (DenoisingUNet_arch.py), ConditionalNAFNet
-(DenoisingNAFNet_arch.py), latent compressor UNet (UNet_arch.py).
+(DenoisingNAFNet_arch.py), latent compressor UNet (UNet_arch.py), stereo
+ConditionalNAFNet with SCAM (stereo-sr/.../DenoisingNAFNet_arch.py), bokeh
+ConditionalNAFNet with cam_mlp (latent-bokeh/.../DenoisingNAFNet_arch.py),
+and DiT (latent-dehazing/.../DiT_arch.py).
 """
 
 from __future__ import annotations
@@ -103,26 +106,34 @@ def unet_key_rules(depth: int = 4) -> Dict[str, Rule]:
     return rules
 
 
+def _naf_block_rules(
+    torch_prefix: str, flax_prefix: str, mlps=(("mlp", "Dense_0"),)
+) -> Dict[str, Rule]:
+    """Shared NAFBlock body; ``mlps`` lists (torch Sequential name, flax
+    Dense name) pairs — base/stereo use ``mlp``->``Dense_0``, bokeh adds
+    ``time_mlp``/``cam_mlp`` named Dense modules."""
+    r: Dict[str, Rule] = {
+        f"{flax_prefix}/beta": (f"{torch_prefix}.beta", _norm_g),
+        f"{flax_prefix}/gamma": (f"{torch_prefix}.gamma", _norm_g),
+        f"{flax_prefix}/norm1/g": (f"{torch_prefix}.norm1.g", _norm_g),
+        f"{flax_prefix}/norm2/g": (f"{torch_prefix}.norm2.g", _norm_g),
+    }
+    for tname, fname in mlps:
+        r[f"{flax_prefix}/{fname}/kernel"] = (f"{torch_prefix}.{tname}.1.weight", _dense_w)
+        r[f"{flax_prefix}/{fname}/bias"] = (f"{torch_prefix}.{tname}.1.bias", _ident)
+    for conv_name in ["conv1", "conv2", "conv3", "conv4", "conv5"]:
+        r[f"{flax_prefix}/{conv_name}/kernel"] = (f"{torch_prefix}.{conv_name}.weight", _conv_w)
+        r[f"{flax_prefix}/{conv_name}/bias"] = (f"{torch_prefix}.{conv_name}.bias", _ident)
+    r[f"{flax_prefix}/sca_conv/kernel"] = (f"{torch_prefix}.sca.1.weight", _conv_w)
+    r[f"{flax_prefix}/sca_conv/bias"] = (f"{torch_prefix}.sca.1.bias", _ident)
+    return r
+
+
 def nafnet_key_rules(
     enc_blk_nums, middle_blk_num, dec_blk_nums
 ) -> Dict[str, Rule]:
     """flax path -> torch key for ConditionalNAFNet (DenoisingNAFNet_arch.py:87-188)."""
-
-    def naf_block(torch_prefix: str, flax_prefix: str) -> Dict[str, Rule]:
-        r = {
-            f"{flax_prefix}/Dense_0/kernel": (f"{torch_prefix}.mlp.1.weight", _dense_w),
-            f"{flax_prefix}/Dense_0/bias": (f"{torch_prefix}.mlp.1.bias", _ident),
-            f"{flax_prefix}/beta": (f"{torch_prefix}.beta", _norm_g),
-            f"{flax_prefix}/gamma": (f"{torch_prefix}.gamma", _norm_g),
-            f"{flax_prefix}/norm1/g": (f"{torch_prefix}.norm1.g", _norm_g),
-            f"{flax_prefix}/norm2/g": (f"{torch_prefix}.norm2.g", _norm_g),
-        }
-        for conv_name in ["conv1", "conv2", "conv3", "conv4", "conv5"]:
-            r[f"{flax_prefix}/{conv_name}/kernel"] = (f"{torch_prefix}.{conv_name}.weight", _conv_w)
-            r[f"{flax_prefix}/{conv_name}/bias"] = (f"{torch_prefix}.{conv_name}.bias", _ident)
-        r[f"{flax_prefix}/sca_conv/kernel"] = (f"{torch_prefix}.sca.1.weight", _conv_w)
-        r[f"{flax_prefix}/sca_conv/bias"] = (f"{torch_prefix}.sca.1.bias", _ident)
-        return r
+    naf_block = _naf_block_rules
 
     rules: Dict[str, Rule] = {
         "intro/kernel": ("intro.weight", _conv_w),
@@ -230,6 +241,171 @@ def latent_unet_key_rules(depth: int = 4) -> Dict[str, Rule]:
             rules[f"dec{i}_up/Conv_0/kernel"] = (f"decoder.{k}.3.1.weight", _conv_w)
             rules[f"dec{i}_up/Conv_0/bias"] = (f"decoder.{k}.3.1.bias", _ident)
     return rules
+
+
+def _scam_rules(torch_prefix: str, flax_prefix: str) -> Dict[str, Rule]:
+    """Stereo Cross Attention Module (ref stereo-sr arch :15-60)."""
+    r: Dict[str, Rule] = {
+        f"{flax_prefix}/norm_l/g": (f"{torch_prefix}.norm_l.g", _norm_g),
+        f"{flax_prefix}/norm_r/g": (f"{torch_prefix}.norm_r.g", _norm_g),
+        f"{flax_prefix}/beta": (f"{torch_prefix}.beta", _norm_g),
+        f"{flax_prefix}/gamma": (f"{torch_prefix}.gamma", _norm_g),
+    }
+    for proj in ("l_proj1", "r_proj1", "l_proj2", "r_proj2"):
+        r[f"{flax_prefix}/{proj}/kernel"] = (f"{torch_prefix}.{proj}.weight", _conv_w)
+        r[f"{flax_prefix}/{proj}/bias"] = (f"{torch_prefix}.{proj}.bias", _ident)
+    return r
+
+
+def stereo_nafnet_key_rules(
+    enc_blk_nums, middle_blk_num, dec_blk_nums
+) -> Dict[str, Rule]:
+    """flax path -> torch key for the stereo ConditionalNAFNet
+    (stereo-sr/models/modules/DenoisingNAFNet_arch.py:63-248): each torch
+    NAFBlock carries its SCAM as ``.fusion``; our StereoNAFBlock nests them
+    as ``block`` / ``fusion``."""
+
+    def stereo_block(tp: str, fp: str) -> Dict[str, Rule]:
+        r = _naf_block_rules(tp, f"{fp}/block")
+        r.update(_scam_rules(f"{tp}.fusion", f"{fp}/fusion"))
+        return r
+
+    rules: Dict[str, Rule] = {
+        "intro/kernel": ("intro.weight", _conv_w),
+        "intro/bias": ("intro.bias", _ident),
+        "ending/kernel": ("ending.weight", _conv_w),
+        "ending/bias": ("ending.bias", _ident),
+        "time_mlp_1/kernel": ("time_mlp.1.weight", _dense_w),
+        "time_mlp_1/bias": ("time_mlp.1.bias", _ident),
+        "time_mlp_2/kernel": ("time_mlp.3.weight", _dense_w),
+        "time_mlp_2/bias": ("time_mlp.3.bias", _ident),
+    }
+    for i, num in enumerate(enc_blk_nums):
+        for b in range(num):
+            rules.update(stereo_block(f"encoders.{i}.{b}", f"enc{i}_block{b}"))
+        rules[f"down{i}/kernel"] = (f"downs.{i}.weight", _conv_w)
+        rules[f"down{i}/bias"] = (f"downs.{i}.bias", _ident)
+    for b in range(middle_blk_num):
+        rules.update(stereo_block(f"middle_blks.{b}", f"mid_block{b}"))
+    for i, num in enumerate(dec_blk_nums):
+        rules[f"up{i}/kernel"] = (f"ups.{i}.0.weight", _conv_w)
+        for b in range(num):
+            rules.update(stereo_block(f"decoders.{i}.{b}", f"dec{i}_block{b}"))
+    return rules
+
+
+def bokeh_nafnet_key_rules(
+    enc_blk_nums, middle_blk_num, dec_blk_nums
+) -> Dict[str, Rule]:
+    """flax path -> torch key for the bokeh ConditionalNAFNet
+    (latent-bokeh/models/modules/DenoisingNAFNet_arch.py:93-208).
+
+    Unlike the base variant, the top-level time_mlp is
+    Sequential(Linear, SimpleGate, Linear) — indices 0/2, the sinusoid is a
+    separate module — and there is a parallel ``cam_mlp``; blocks carry
+    named ``time_mlp``/``cam_mlp`` Sequential(SimpleGate, Linear) pairs."""
+
+    def bokeh_block(tp: str, fp: str) -> Dict[str, Rule]:
+        return _naf_block_rules(
+            tp, fp, mlps=(("time_mlp", "time_mlp"), ("cam_mlp", "cam_mlp"))
+        )
+
+    rules: Dict[str, Rule] = {
+        "intro/kernel": ("intro.weight", _conv_w),
+        "intro/bias": ("intro.bias", _ident),
+        "ending/kernel": ("ending.weight", _conv_w),
+        "ending/bias": ("ending.bias", _ident),
+        "time_mlp_1/kernel": ("time_mlp.0.weight", _dense_w),
+        "time_mlp_1/bias": ("time_mlp.0.bias", _ident),
+        "time_mlp_2/kernel": ("time_mlp.2.weight", _dense_w),
+        "time_mlp_2/bias": ("time_mlp.2.bias", _ident),
+        "cam_mlp_1/kernel": ("cam_mlp.0.weight", _dense_w),
+        "cam_mlp_1/bias": ("cam_mlp.0.bias", _ident),
+        "cam_mlp_2/kernel": ("cam_mlp.2.weight", _dense_w),
+        "cam_mlp_2/bias": ("cam_mlp.2.bias", _ident),
+    }
+    for i, num in enumerate(enc_blk_nums):
+        for b in range(num):
+            rules.update(bokeh_block(f"encoders.{i}.{b}", f"enc{i}_block{b}"))
+        rules[f"down{i}/kernel"] = (f"downs.{i}.weight", _conv_w)
+        rules[f"down{i}/bias"] = (f"downs.{i}.bias", _ident)
+    for b in range(middle_blk_num):
+        rules.update(bokeh_block(f"middle_blks.{b}", f"mid_block{b}"))
+    for i, num in enumerate(dec_blk_nums):
+        rules[f"up{i}/kernel"] = (f"ups.{i}.0.weight", _conv_w)
+        for b in range(num):
+            rules.update(bokeh_block(f"decoders.{i}.{b}", f"dec{i}_block{b}"))
+    return rules
+
+
+def dit_key_rules(depth: int = 28) -> Dict[str, Rule]:
+    """flax path -> torch key for DiT (latent-dehazing/.../DiT_arch.py:186-308).
+
+    torch blocks use timm Attention (fused qkv with bias) + Mlp (fc1/fc2);
+    the adaLN Sequential is (SiLU, Linear) -> index 1.  LayerNorms are
+    elementwise_affine=False (no params) on both sides."""
+    rules: Dict[str, Rule] = {
+        "patch_embed/kernel": ("patch_embed.proj.weight", _conv_w),
+        "patch_embed/bias": ("patch_embed.proj.bias", _ident),
+        "t_mlp_1/kernel": ("t_embedder.mlp.0.weight", _dense_w),
+        "t_mlp_1/bias": ("t_embedder.mlp.0.bias", _ident),
+        "t_mlp_2/kernel": ("t_embedder.mlp.2.weight", _dense_w),
+        "t_mlp_2/bias": ("t_embedder.mlp.2.bias", _ident),
+        "final_adaLN/kernel": ("final_layer.adaLN_modulation.1.weight", _dense_w),
+        "final_adaLN/bias": ("final_layer.adaLN_modulation.1.bias", _ident),
+        "final_linear/kernel": ("final_layer.linear.weight", _dense_w),
+        "final_linear/bias": ("final_layer.linear.bias", _ident),
+    }
+    for i in range(depth):
+        tp, fp = f"blocks.{i}", f"block{i}"
+        rules.update({
+            f"{fp}/adaLN/kernel": (f"{tp}.adaLN_modulation.1.weight", _dense_w),
+            f"{fp}/adaLN/bias": (f"{tp}.adaLN_modulation.1.bias", _ident),
+            f"{fp}/MHA_0/qkv/kernel": (f"{tp}.attn.qkv.weight", _dense_w),
+            f"{fp}/MHA_0/qkv/bias": (f"{tp}.attn.qkv.bias", _ident),
+            f"{fp}/MHA_0/proj/kernel": (f"{tp}.attn.proj.weight", _dense_w),
+            f"{fp}/MHA_0/proj/bias": (f"{tp}.attn.proj.bias", _ident),
+            f"{fp}/Dense_0/kernel": (f"{tp}.mlp.fc1.weight", _dense_w),
+            f"{fp}/Dense_0/bias": (f"{tp}.mlp.fc1.bias", _ident),
+            f"{fp}/Dense_1/kernel": (f"{tp}.mlp.fc2.weight", _dense_w),
+            f"{fp}/Dense_1/bias": (f"{tp}.mlp.fc2.bias", _ident),
+        })
+    return rules
+
+
+_DIT_DEPTHS = {"S": 12, "B": 12, "L": 24, "XL": 28}
+
+
+def rules_for_network(which: str, setting: dict) -> Dict[str, Rule]:
+    """Key rules for a registry network name + YAML ``setting`` dict — the
+    dispatch used by the task runners when ``pretrain_model_G`` is a ``.pth``."""
+    setting = dict(setting or {})
+    if which == "ConditionalUNet":
+        return unet_key_rules(int(setting.get("depth", 4)))
+    if which in ("ConditionalNAFNet", "CNAFNetLocal"):
+        return nafnet_key_rules(
+            setting.get("enc_blk_nums", ()), int(setting.get("middle_blk_num", 1)),
+            setting.get("dec_blk_nums", ()),
+        )
+    if which == "StereoConditionalNAFNet":
+        return stereo_nafnet_key_rules(
+            setting.get("enc_blk_nums", ()), int(setting.get("middle_blk_num", 1)),
+            setting.get("dec_blk_nums", ()),
+        )
+    if which == "BokehConditionalNAFNet":
+        return bokeh_nafnet_key_rules(
+            setting.get("enc_blk_nums", ()), int(setting.get("middle_blk_num", 1)),
+            setting.get("dec_blk_nums", ()),
+        )
+    if which == "UNet":
+        return latent_unet_key_rules(len(setting.get("ch_mult") or [1, 2, 4, 4]))
+    if which == "DiT" or which.startswith("DiT_"):
+        if "depth" in setting:
+            depth = int(setting["depth"])
+        else:  # DiT_{S,B,L,XL}_{p} ladder names
+            depth = _DIT_DEPTHS[which.split("_")[1]]
+        return dit_key_rules(depth)
+    raise ValueError(f"no torch import rules for network {which!r}")
 
 
 def _resblock_rules_nt(torch_prefix: str, flax_prefix: str, has_res_conv: bool) -> Dict[str, Rule]:

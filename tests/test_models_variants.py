@@ -96,6 +96,95 @@ def test_dit_registry_sizes():
     assert net.hidden_size == 384 and net.depth == 12 and net.patch_size == 8
 
 
+def _check_rules_cover_and_fill(params, rules):
+    """Every flax leaf must be rule-covered; synthesize a torch state_dict
+    with the inverse shapes and check apply_rules round-trips shapes."""
+    from jax.tree_util import tree_flatten_with_path
+
+    from image_restoration_sde_tpu.utils.torch_import import apply_rules
+
+    flat, _ = tree_flatten_with_path(params)
+    rng = np.random.RandomState(0)
+    sd = {}
+    for path, leaf in flat:
+        fpath = "/".join(str(k.key) for k in path)[len("params/"):]
+        assert fpath in rules, f"no torch mapping for {fpath}"
+        tkey, tf = rules[fpath]
+        if tf.__name__ == "_conv_w":
+            kh, kw, cin, cout = leaf.shape
+            w = rng.rand(cout, cin, kh, kw)
+        elif tf.__name__ == "_dense_w":
+            cin, cout = leaf.shape
+            w = rng.rand(cout, cin)
+        elif tf.__name__ == "_norm_g":
+            w = rng.rand(1, leaf.shape[0], 1, 1)
+        else:
+            w = rng.rand(*leaf.shape)
+        sd[tkey] = w.astype(np.float32)
+    new = apply_rules(params, sd, rules)
+    for (_, a), (_, b) in zip(flat, tree_flatten_with_path(new)[0]):
+        assert a.shape == b.shape
+
+
+def test_stereo_import_rules_cover_all():
+    from image_restoration_sde_tpu.utils.torch_import import stereo_nafnet_key_rules
+
+    cfg = dict(img_channel=3, width=8, middle_blk_num=2, enc_blk_nums=(1, 2), dec_blk_nums=(2, 1))
+    net = StereoConditionalNAFNet(**cfg)
+    x = jnp.zeros((2, 16, 16, 6))
+    params = jax.eval_shape(lambda k: net.init(k, x, x, jnp.array([1.0, 2.0])), jax.random.PRNGKey(0))
+    rules = stereo_nafnet_key_rules(cfg["enc_blk_nums"], cfg["middle_blk_num"], cfg["dec_blk_nums"])
+    _check_rules_cover_and_fill(params, rules)
+
+
+def test_bokeh_import_rules_cover_all():
+    from image_restoration_sde_tpu.utils.torch_import import bokeh_nafnet_key_rules
+
+    cfg = dict(img_channel=4, width=8, middle_blk_num=2, enc_blk_nums=(1, 2), dec_blk_nums=(2, 1))
+    net = BokehConditionalNAFNet(**cfg)
+    x = jnp.zeros((2, 16, 16, 4))
+    lens = (jnp.zeros((2,)), jnp.zeros((2,)), jnp.zeros((2,)))
+    params = jax.eval_shape(
+        lambda k: net.init(k, x, x, jnp.array([1.0, 2.0]), lens_info=lens), jax.random.PRNGKey(0)
+    )
+    rules = bokeh_nafnet_key_rules(cfg["enc_blk_nums"], cfg["middle_blk_num"], cfg["dec_blk_nums"])
+    _check_rules_cover_and_fill(params, rules)
+
+
+def test_dit_import_rules_cover_all():
+    from image_restoration_sde_tpu.utils.torch_import import dit_key_rules, rules_for_network
+
+    net = DiT(patch_size=2, in_channels=4, hidden_size=32, depth=2, num_heads=4)
+    x = jnp.zeros((1, 8, 8, 4))
+    params = jax.eval_shape(lambda k: net.init(k, x, x, jnp.array([1.0])), jax.random.PRNGKey(0))
+    _check_rules_cover_and_fill(params, dit_key_rules(depth=2))
+    # ladder-name dispatch
+    assert len(rules_for_network("DiT_L_4", {})) == len(dit_key_rules(24))
+    assert len(rules_for_network("StereoConditionalNAFNet",
+                                 {"enc_blk_nums": [1], "dec_blk_nums": [1]})) > 0
+
+
+def test_scam_bicubic_matches_torch_interpolate():
+    """SCAM's 1/4 downsample is exactly torch F.interpolate bicubic
+    (a=-0.75, align_corners=False) — ref stereo arch :36-37."""
+    torch = pytest.importorskip("torch")
+    from image_restoration_sde_tpu.models.modules import bicubic_resize_weights
+
+    rs = np.random.RandomState(3)
+    x = rs.rand(2, 16, 24, 5).astype(np.float32)  # NHWC
+    want = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=0.25, mode="bicubic"
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    wh = bicubic_resize_weights(16, 4)
+    ww = bicubic_resize_weights(24, 6)
+    got = np.einsum("oh,pw,bhwc->bopc", wh, ww, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_local_avg_pool_matches_oracle():
     # oracle: direct window mean + replicate pad (ref local_arch.py:57-72)
     rs = np.random.RandomState(0)
