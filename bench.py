@@ -42,7 +42,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     size = int(os.environ.get("BENCH_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
     sde = IRSDE.create(max_sigma=10.0, T=steps, schedule="cosine", eps=0.005)
     net = ConditionalUNet(in_nc=3, out_nc=3, nf=64, depth=4, dtype=jnp.bfloat16)
@@ -53,17 +53,23 @@ def main():
 
     sampler = make_restoration_sampler(sde, net.apply, mode="sde")
 
-    # warmup / compile
-    out = sampler(params, lq, key)
-    out.block_until_ready()
-
-    t0 = time.perf_counter()
-    for i in range(reps):
+    # warmup / compile — exercise the EXACT timed path (incl. fold_in, whose
+    # own first-call compile otherwise lands inside the timed region)
+    for i in (1_000_001, 1_000_002):
         out = sampler(params, lq, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out.block_until_ready()
 
-    imgs_per_sec = batch * reps / dt
+    # per-rep timing, median: the tunneled chip shows rare multi-second
+    # outliers (grant renegotiation), which a single total-time window
+    # would fold into the result
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = sampler(params, lq, jax.random.fold_in(key, i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    imgs_per_sec = batch / times[len(times) // 2]
     print(
         json.dumps(
             {

@@ -76,8 +76,10 @@ class ChannelLayerNorm(nn.Module):
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
         from ..ops.layernorm import channel_layernorm
 
-        out = channel_layernorm(x.astype(jnp.float32), g, eps, _USE_PALLAS)
-        return out.astype(self.dtype)
+        # Stats are computed in f32 INSIDE the op; feeding the native dtype
+        # (and writing it back directly) avoids two full-size f32 round
+        # trips per norm — bitwise identical to casting outside.
+        return channel_layernorm(x, g, eps, _USE_PALLAS).astype(self.dtype)
 
 
 def conv(
@@ -227,20 +229,14 @@ class LinearAttention(nn.Module):
         N = H * W
         hidden = self.heads * self.dim_head
         qkv = conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
-        qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
-        from ..ops.linear_attention import linear_attention
+        from ..ops.linear_attention import linear_attention_packed
 
-        # (B, N, h, d) -> (B*h, N, d) slices for the fused kernel
-        to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(B * self.heads, N, self.dim_head)
-        out = linear_attention(
-            to_bh(q).astype(jnp.float32),
-            to_bh(k).astype(jnp.float32),
-            to_bh(v).astype(jnp.float32),
-            _USE_PALLAS,
+        # The conv's (B, H, W, 3*h*d) output IS the kernel's packed layout —
+        # no transposes, no f32 materialization (softmax runs f32 in-kernel).
+        out = linear_attention_packed(
+            qkv.reshape(B, N, 3 * hidden), self.heads, self.dim_head, _USE_PALLAS
         )
-        out = out.reshape(B, self.heads, N, self.dim_head).transpose(0, 2, 1, 3)
         out = out.reshape(B, H, W, hidden).astype(self.dtype)
 
         out = nn.Conv(

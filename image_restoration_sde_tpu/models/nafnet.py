@@ -15,8 +15,10 @@ torch checkpoint importer (utils/torch_import.nafnet_key_rules).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +30,13 @@ from .modules import (
     simple_gate,
     sinusoidal_pos_emb,
 )
+
+# Runs of >= this many NAFBlocks at one pyramid level are fused into a
+# single pallas_call (ops/naf_stack.py) on TPU: the activation stays VMEM
+# resident across the whole run while per-block weights stream through the
+# pipeline.  The flagship Refusion config (enc [1,1,1,28]) hits this on its
+# 28-block deep level.  Opt out with IRSDE_DISABLE_PALLAS=1.
+_FUSE_MIN_BLOCKS = 4
 
 
 def _conv(features, kernel, name, use_bias=True, stride=1, groups=1, dtype=jnp.float32):
@@ -121,6 +130,42 @@ class ConditionalNAFNet(nn.Module):
         fh, fw = th >> level, tw >> level
         return (max(1, fh * base_h // th), max(1, fw * base_w // tw))
 
+    def _block_run(self, x, t, *, prefix: str, count: int, level: int, chan: int):
+        """Run ``count`` NAFBlocks named ``{prefix}{b}``, fusing long runs on
+        small feature maps into one pallas_call (ops/naf_stack.py).
+
+        The fused path reads the blocks' (already created) params via
+        ``get_variable`` — the param tree and checkpoint/importer contract
+        are unchanged.  During ``init`` the blocks always run individually
+        so their params exist.  The fused math runs f32 end-to-end (for
+        bf16 nets that is a small, strictly-accuracy-improving drift)."""
+        sca = self._sca_kernel(level)
+        blocks = [
+            NAFBlock(chan, sca_kernel=sca, dtype=self.dtype, name=f"{prefix}{b}")
+            for b in range(count)
+        ]
+        interp = os.environ.get("IRSDE_NAF_FUSE_INTERPRET", "0") == "1"  # tests
+        fuse = (
+            count >= _FUSE_MIN_BLOCKS
+            and not self.is_initializing()
+            and os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
+            and (jax.default_backend() == "tpu" or interp)
+            # whole activation must stay VMEM-resident (f32 working set)
+            and x.size * 4 <= 2**20
+            # TLSC local pooling isn't in the fused kernel; global-mean only
+            and (sca is None or (sca[0] >= x.shape[1] and sca[1] >= x.shape[2]))
+        )
+        if not fuse:
+            for blk in blocks:
+                x = blk(x, t)
+            return x
+        from ..ops.naf_stack import naf_stack, stack_middle_params
+
+        p = {f"{prefix}{b}": self.get_variable("params", f"{prefix}{b}") for b in range(count)}
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        stacked = stack_middle_params({"params": p}, t, count, prefix=prefix)
+        return naf_stack(x, stacked, eps, True, interp)
+
     @nn.compact
     def __call__(self, inp: jnp.ndarray, cond: jnp.ndarray, time) -> jnp.ndarray:
         B, H, W, _ = inp.shape
@@ -146,26 +191,22 @@ class ConditionalNAFNet(nn.Module):
         skips = []
         chan = self.width
         for i, num in enumerate(self.enc_blk_nums):
-            for b in range(num):
-                x = NAFBlock(chan, sca_kernel=self._sca_kernel(i), dtype=dtype,
-                             name=f"enc{i}_block{b}")(x, t)
+            x = self._block_run(x, t, prefix=f"enc{i}_block", count=num, level=i, chan=chan)
             skips.append(x)
             x = _conv(2 * chan, 2, f"down{i}", stride=2, dtype=dtype)(x)
             chan *= 2
 
         n_enc = len(self.enc_blk_nums)
-        for b in range(self.middle_blk_num):
-            x = NAFBlock(chan, sca_kernel=self._sca_kernel(n_enc), dtype=dtype,
-                         name=f"mid_block{b}")(x, t)
+        x = self._block_run(x, t, prefix="mid_block", count=self.middle_blk_num,
+                            level=n_enc, chan=chan)
 
         for i, num in enumerate(self.dec_blk_nums):
             x = _conv(2 * chan, 1, f"up{i}", use_bias=False, dtype=dtype)(x)
             x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + skips[-(i + 1)]
-            for b in range(num):
-                x = NAFBlock(chan, sca_kernel=self._sca_kernel(n_enc - 1 - i),
-                             dtype=dtype, name=f"dec{i}_block{b}")(x, t)
+            x = self._block_run(x, t, prefix=f"dec{i}_block", count=num,
+                                level=n_enc - 1 - i, chan=chan)
 
         x = _conv(self.img_channel, 3, "ending", dtype=dtype)(x)
         return x[:, :H, :W, :].astype(jnp.float32)

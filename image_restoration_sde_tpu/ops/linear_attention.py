@@ -164,6 +164,175 @@ def _fits_streaming(N: int, d: int) -> bool:
     return N % _STREAM_TILE == 0 and N > _BLOCK_LIMIT_BYTES // (d * 4)
 
 
+# ------------------------------------------------ packed all-heads kernels
+#
+# The model-facing fast path.  The qkv projection's natural output is
+# (B, N, 3*heads*dim_head) with channels ordered [q_h0..q_h3 | k_* | v_*]
+# (the reference reshapes it to (B, N, 3, heads, d) — module_util.py:160).
+# When heads*dim_head == 128 this maps exactly onto one TPU lane register:
+# all four heads are processed TOGETHER as a single 128-wide block, and the
+# cross-head garbage the 128x128 MXU computes for free is removed with a
+# static block-diagonal mask.  No transposes, no f32 materialization — the
+# two kernels read bf16 blocks straight out of the conv's layout:
+#
+#   kernel A (context):  ctxT[e,d] = sum_n softmaxN(k)[n,d] * v[n,e] / N
+#       streaming over N tiles with online max/sum per channel (lane vectors)
+#   kernel B (apply):    out[n,e] = sum_d softmaxD(q)[n,d]*d^-.5 * ctxT[e,d]
+#       per-head softmax over d via a global-max shift (exact) and a
+#       block-diagonal ones matmul for the segment sums (MXU, not shuffles)
+
+_HID = 128  # heads * dim_head the packed kernels are specialized for
+
+
+def _head_mask(dim_head: int, dtype=jnp.float32):
+    r = jax.lax.broadcasted_iota(jnp.int32, (_HID, _HID), 0) // dim_head
+    c = jax.lax.broadcasted_iota(jnp.int32, (_HID, _HID), 1) // dim_head
+    return (r == c).astype(dtype)
+
+
+def _ctx_kernel(k_ref, v_ref, o_ref, m_sc, s_sc, acc_sc, *, n_total, dim_head):
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, -jnp.inf)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    k = k_ref[0].astype(jnp.float32)  # (Nt, 128): N on sublanes, d on lanes
+    v = v_ref[0].astype(jnp.float32)
+    m_old = m_sc[:1]  # (1, 128) per-channel running max over N
+    m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+    corr = jnp.exp(m_old - m_new)  # (1, 128) lane vector
+    ke = jnp.exp(k - m_new)
+    s_sc[:1] = s_sc[:1] * corr + jnp.sum(ke, axis=0, keepdims=True)
+    # acc[e, d] += sum_n v[n, e] ke[n, d]  — lanes carry d, so the running
+    # corr/s broadcasts are native lane-vector ops
+    acc_sc[:] = acc_sc[:] * corr + jax.lax.dot_general(
+        v, ke, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_sc[:1] = m_new
+
+    @pl.when(t == nt - 1)
+    def _():
+        mask = _head_mask(dim_head)
+        o_ref[0] = acc_sc[:] * mask / (s_sc[:1] * n_total)
+
+
+def _apply_kernel(q_ref, ctx_ref, o_ref, *, dim_head):
+    q = q_ref[0].astype(jnp.float32)  # (Nt, 128)
+    # per-head softmax over d, shifted by the GLOBAL row max (>= per-head
+    # max, so exp <= 1; the shift cancels in the normalization — exact)
+    e = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+    seg = jax.lax.dot_general(
+        e, _head_mask(dim_head), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Nt, 128): each lane gets its head's sum
+    qs = e / seg * (dim_head**-0.5)
+    # out[n, e] = sum_d qs[n, d] ctxT[e, d]
+    o_ref[0] = jax.lax.dot_general(
+        qs, ctx_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _pick_tile(n: int, limit: int = 2048) -> int:
+    for t in (limit, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if t <= limit and n % t == 0:
+            return t
+    return 0
+
+
+def _pallas_packed(qkv, dim_head, *, interpret=False):
+    B, N, C3 = qkv.shape
+    nt = _pick_tile(N)
+    grid = (B, N // nt)
+    k_spec = pl.BlockSpec((1, nt, _HID), lambda b, t: (b, t, 1), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, nt, _HID), lambda b, t: (b, t, 2), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, nt, _HID), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((1, _HID, _HID), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nt, _HID), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+
+    ctx = pl.pallas_call(
+        partial(_ctx_kernel, n_total=N, dim_head=dim_head),
+        grid=grid,
+        in_specs=[k_spec, v_spec],
+        out_specs=ctx_spec,
+        out_shape=jax.ShapeDtypeStruct((B, _HID, _HID), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, _HID), jnp.float32),   # running max (row 0)
+            pltpu.VMEM((8, _HID), jnp.float32),   # running sum (row 0)
+            pltpu.VMEM((_HID, _HID), jnp.float32),  # ctx accumulator
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+    )(qkv, qkv)
+
+    return pl.pallas_call(
+        partial(_apply_kernel, dim_head=dim_head),
+        grid=grid,
+        in_specs=[q_spec, ctx_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, _HID), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+    )(qkv, ctx)
+
+
+def _jnp_packed(qkv, heads, dim_head):
+    """Packed-layout reference composition (same math as module_util.py
+    LinearAttention): qkv (B, N, 3*h*d) -> out (B, N, h*d)."""
+    B, N, _ = qkv.shape
+    x = qkv.astype(jnp.float32).reshape(B, N, 3, heads, dim_head)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, N, h, d)
+    qs = jax.nn.softmax(q, axis=-1) * (dim_head**-0.5)
+    ks = jax.nn.softmax(k, axis=1)
+    ctx = jnp.einsum("bnhd,bnhe->bhde", ks, v / N)
+    out = jnp.einsum("bnhd,bhde->bnhe", qs, ctx)
+    return out.reshape(B, N, heads * dim_head).astype(qkv.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def linear_attention_packed(
+    qkv, heads: int = 4, dim_head: int = 32,
+    use_pallas: bool = True, interpret: bool = False,
+):
+    """Fused linear attention on the packed qkv projection.
+
+    qkv: (B, N, 3*heads*dim_head) in the conv's natural channel order
+    ([q|k|v] major, head minor).  Returns (B, N, heads*dim_head) in the
+    input dtype.  Differentiable (jnp backward)."""
+    return _packed_forward(qkv, heads, dim_head, use_pallas, interpret)
+
+
+def _packed_forward(qkv, heads, dim_head, use_pallas, interpret):
+    N = qkv.shape[-2]
+    on_tpu = jax.default_backend() == "tpu"
+    if (
+        use_pallas
+        and (on_tpu or interpret)
+        and heads * dim_head == _HID
+        and _HID % dim_head == 0
+        and _pick_tile(N)
+    ):
+        return _pallas_packed(qkv, dim_head, interpret=interpret)
+    return _jnp_packed(qkv, heads, dim_head)
+
+
+def _packed_fwd(qkv, heads, dim_head, use_pallas, interpret):
+    return _packed_forward(qkv, heads, dim_head, use_pallas, interpret), (qkv,)
+
+
+def _packed_bwd(heads, dim_head, use_pallas, interpret, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda t: _jnp_packed(t, heads, dim_head), qkv)
+    return vjp(g)
+
+
+linear_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def linear_attention(q, k, v, use_pallas: bool = True, interpret: bool = False):
     """(BH, N, d) fused linear attention; differentiable."""

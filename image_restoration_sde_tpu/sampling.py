@@ -12,6 +12,7 @@ rounded up to a bucket multiple, and each bucket compiles once.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Optional, Tuple
 
@@ -25,18 +26,36 @@ from .sde.denoising_sde import DenoisingSDE
 SAMPLING_MODES = ("sde", "posterior", "ode")
 
 
+def _sample_chunk(batch: int, chunk: Optional[int]) -> int:
+    """Sub-batch size the sampler scans over.
+
+    On TPU the 100-step scan is fastest when the per-step working set stays
+    inside XLA's fast-memory assignment (measured optimum: 8 images at
+    128px on v5e; larger batches spill level-0 tensors to HBM and lose
+    ~15%/image).  Chunking with ``lax.map`` keeps any batch at the
+    per-chunk operating point.  Override with ``IRSDE_SAMPLE_CHUNK``.
+    """
+    if chunk is None:
+        chunk = int(os.environ.get("IRSDE_SAMPLE_CHUNK", "8"))
+    if chunk <= 0:
+        return batch
+    while chunk > 1 and batch % chunk:
+        chunk -= 1
+    return min(chunk, batch)
+
+
 def make_restoration_sampler(
     sde: IRSDE,
     apply_fn: Callable,  # (params, xt, cond, tvec) -> noise
     mode: str = "posterior",
     steps: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> Callable:
     """Returns jitted ``sample(params, lq, key) -> restored`` (NHWC)."""
     if mode not in SAMPLING_MODES:
         raise ValueError(f"sampling mode {mode!r}; options: {SAMPLING_MODES}")
 
-    @jax.jit
-    def sample(params, lq, key):
+    def sample_one(params, lq, key):
         k_init, k_chain = jax.random.split(key)
         noisy = sde.noise_state(k_init, lq)
 
@@ -48,6 +67,17 @@ def make_restoration_sampler(
         if mode == "posterior":
             return samplers.reverse_posterior(sde, noise_fn, noisy, lq, k_chain, steps=steps)
         return samplers.reverse_ode(sde, noise_fn, noisy, lq, steps=steps)
+
+    @jax.jit
+    def sample(params, lq, key):
+        B = lq.shape[0]
+        c = _sample_chunk(B, chunk)
+        if c == B:
+            return sample_one(params, lq, key)
+        lqs = lq.reshape(B // c, c, *lq.shape[1:])
+        keys = jax.random.split(key, B // c)
+        out = jax.lax.map(lambda a: sample_one(params, a[0], a[1]), (lqs, keys))
+        return out.reshape(B, *out.shape[2:])
 
     return sample
 

@@ -96,3 +96,78 @@ def test_streaming_linear_attention_matches_reference():
         lambda a, b, c: _pallas_linear_attention_streaming(a, b, c, tile=1024, interpret=True)
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_linear_attention_matches_composition():
+    """The packed all-heads kernel must equal the reference composition
+    (module_util.py:150-178 math) on the conv's natural (B, N, 3*h*d)
+    layout, including the block-diagonal cross-head masking."""
+    from image_restoration_sde_tpu.ops.linear_attention import (
+        _jnp_packed,
+        _pallas_packed,
+    )
+
+    key = jax.random.PRNGKey(7)
+    for B, N in [(2, 1024), (1, 576)]:
+        qkv = jax.random.normal(key, (B, N, 384), jnp.float32) * 2.0
+        # per-head composition via the old (BH, N, d) path
+        x = qkv.reshape(B, N, 3, 4, 32)
+        to_bh = lambda t: t.transpose(0, 2, 1, 3).reshape(B * 4, N, 32)
+        ref = _jnp_linear_attention(to_bh(x[:, :, 0]), to_bh(x[:, :, 1]), to_bh(x[:, :, 2]))
+        ref = ref.reshape(B, 4, N, 32).transpose(0, 2, 1, 3).reshape(B, N, 128)
+        got_jnp = _jnp_packed(qkv, 4, 32)
+        got_pal = jax.jit(lambda t: _pallas_packed(t, 32, interpret=True))(qkv)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+        assert float(jnp.max(jnp.abs(got_jnp - ref))) / scale < 1e-5
+        assert float(jnp.max(jnp.abs(got_pal - ref))) / scale < 1e-4
+
+
+def test_packed_linear_attention_bf16_and_grads():
+    from image_restoration_sde_tpu.ops.linear_attention import (
+        _jnp_packed,
+        linear_attention_packed,
+    )
+
+    key = jax.random.PRNGKey(3)
+    qkv = (jax.random.normal(key, (2, 512, 384), jnp.float32)).astype(jnp.bfloat16)
+    out = jax.jit(lambda t: linear_attention_packed(t, 4, 32, True, True))(qkv)
+    assert out.dtype == jnp.bfloat16 and out.shape == (2, 512, 128)
+    ref = _jnp_packed(qkv, 4, 32).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / scale < 2e-2
+
+    qkv32 = qkv.astype(jnp.float32)
+    g_op = jax.grad(lambda t: jnp.sum(linear_attention_packed(t, 4, 32, True, True) ** 2))(qkv32)
+    g_ref = jax.grad(lambda t: jnp.sum(_jnp_packed(t, 4, 32) ** 2))(qkv32)
+    np.testing.assert_allclose(np.asarray(g_op), np.asarray(g_ref), rtol=0, atol=1e-6)
+
+
+def test_nafnet_fused_block_run_matches_unfused(monkeypatch):
+    """ConditionalNAFNet routes long same-level NAFBlock runs through the
+    fused pallas stack (ref arch: DenoisingNAFNet_arch.py:87-188 runs them
+    as python-sequential modules); the fused path must match the unfused
+    model bit-for-bit at f32 and actually engage."""
+    from image_restoration_sde_tpu.models.nafnet import ConditionalNAFNet
+    from image_restoration_sde_tpu.ops import naf_stack as ns
+
+    calls = []
+    orig = ns.naf_stack
+    monkeypatch.setattr(
+        ns, "naf_stack",
+        lambda x, s, e, up=True, it=False: (calls.append(x.shape), orig(x, s, e, up, it))[1],
+    )
+    monkeypatch.setenv("IRSDE_NAF_FUSE_INTERPRET", "1")
+
+    net = ConditionalNAFNet(img_channel=8, width=32, middle_blk_num=1,
+                            enc_blk_nums=(1, 5), dec_blk_nums=(1, 1),
+                            dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 16, 16, 8), jnp.float32)
+    p = net.init(key, x, x, jnp.zeros((2,)))
+    fused = net.apply(p, x, x, jnp.array([3.0, 5.0]))
+    assert calls == [(2, 8, 8, 64)]  # the 5-block level, fused once
+
+    monkeypatch.setenv("IRSDE_NAF_FUSE_INTERPRET", "0")
+    monkeypatch.setenv("IRSDE_DISABLE_PALLAS", "1")
+    ref = net.apply(p, x, x, jnp.array([3.0, 5.0]))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=0, atol=1e-6)
