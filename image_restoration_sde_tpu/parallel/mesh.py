@@ -46,14 +46,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x, sh: NamedSharding):
+    """Place one host array under a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``.  Multi-process: each host holds
+    only its local slice (TrainLoader strides ``process_index ::
+    process_count``), so the global array is assembled from process-local
+    data — the jax equivalent of the reference's per-rank DDP batches
+    (ref data/__init__.py:11-16)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place host arrays onto the mesh, batch-dim sharded over ``data``."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put_global(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: _put_global(x, sh), tree)
 
 
 def process_is_primary() -> bool:

@@ -1,0 +1,112 @@
+"""Driver-level multi-host test: two coordinated jax processes run the
+real ``tools/train.py`` code path end to end.
+
+This exercises what the reference exercises only by actually launching
+``torch.distributed.launch`` (ref demo.sh, train.py:28-40): process-group
+init, per-rank data sharding, global-batch assembly, synchronized train
+steps with cross-process gradient collectives, and rank-0-only logging /
+checkpointing.  Here: ``jax.distributed.initialize`` + gloo CPU
+collectives, ``TrainLoader`` process striding, and
+``make_array_from_process_local_data`` global batches (parallel/mesh.py).
+"""
+
+import glob
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import yaml
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_dataset(root):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for sub in ["GT", "LQ"]:
+        os.makedirs(root / "train" / sub, exist_ok=True)
+    for i in range(8):
+        gt = (rs.rand(24, 24, 3) * 255).astype(np.uint8)
+        lq = np.clip(gt.astype(int) + 30, 0, 255).astype(np.uint8)
+        Image.fromarray(gt).save(root / "train" / "GT" / f"im{i}.png")
+        Image.fromarray(lq).save(root / "train" / "LQ" / f"im{i}.png")
+
+
+def test_two_process_train_driver(tmp_path):
+    _write_dataset(tmp_path)
+    cfg = {
+        "name": "mh", "use_tb_logger": False, "model": "denoising",
+        "distortion": "derain", "gpu_ids": [0],
+        "sde": {"max_sigma": 10, "T": 4, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "sde"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "datasets": {
+            "train": {"name": "t", "mode": "LQGT",
+                      "dataroot_GT": str(tmp_path / "train" / "GT"),
+                      "dataroot_LQ": str(tmp_path / "train" / "LQ"),
+                      "n_workers": 1, "batch_size": 4, "GT_size": 16,
+                      "LR_size": 16, "use_flip": True, "use_rot": True,
+                      "dataset_enlarge_ratio": 4},
+        },
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+        "path": {"root": str(tmp_path / "run")},
+        "train": {"optimizer": "Adam", "lr_G": 1e-4, "lr_scheme": "MultiStepLR",
+                  "beta1": 0.9, "beta2": 0.99, "niter": 3, "warmup_iter": -1,
+                  "lr_steps": [], "is_weighted": False, "loss_type": "l1",
+                  "weight": 1.0, "manual_seed": 1, "val_freq": 100},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 100},
+    }
+    opt_path = tmp_path / "mh.yml"
+    yaml.safe_dump(cfg, open(opt_path, "w"))
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "IRSDE_PLATFORM": "cpu",
+            "IRSDE_MULTIHOST": "1",
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            # 2 virtual devices per process -> 4-device global data mesh
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            # per-process compile caches: with a shared cache one process
+            # compiles (~30s) while the other loads the fresh entry (~2s),
+            # and that skew can blow a collective's rendezvous window
+            "JAX_COMPILATION_CACHE_DIR": str(tmp_path / f"cache{pid}"),
+            "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"), f"-opt={opt_path}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    assert procs[0].returncode == 0, outs[0][-3000:]
+    assert procs[1].returncode == 0, outs[1][-3000:]
+
+    # rank 0 logs the global-batch assembly; rank 1 is screen-silent
+    assert "Data parallel: 2 process(es), global batch 4, per-process batch 2" in outs[0]
+    assert "Data parallel" not in outs[1]
+
+    # synchronized steps ran: rank 0 logged a finite loss for each iter
+    losses = [float(m) for m in re.findall(r"loss: ([0-9.e+-]+)", outs[0])]
+    assert len(losses) == 3 and all(np.isfinite(losses))
+
+    # rank-0-only checkpointing (ref train.py:305), exactly one final save
+    hits = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "mh" / "models" / "3_G"))
+    assert len(hits) == 1, outs[0][-2000:]

@@ -32,9 +32,25 @@ jax.config.update(
 if os.environ.get("IRSDE_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
 # multi-host: replaces torch.distributed.launch (ref train.py:28-40) —
-# set IRSDE_MULTIHOST=1 (with the usual JAX coordinator env) to initialize
+# set IRSDE_MULTIHOST=1 to initialize.  On managed clusters (TPU pods,
+# SLURM, k8s) jax autodetects the topology; elsewhere pass the coordinator
+# explicitly via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+# JAX_PROCESS_ID (this jax build has no generic env-var cluster plugin).
 if os.environ.get("IRSDE_MULTIHOST") == "1":
-    jax.distributed.initialize()
+    if os.environ.get("IRSDE_PLATFORM") == "cpu":
+        # cross-process collectives on the CPU platform go through gloo
+        jax.config.update(
+            "jax_cpu_collectives_implementation",
+            os.environ.get("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo"),
+        )
+    _kw = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        _kw = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**_kw)
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
@@ -60,6 +76,18 @@ def main():
     parser.add_argument("--launcher", default="none", help="compat; unused")
     parser.add_argument("--local_rank", type=int, default=0, help="compat; unused")
     args = parser.parse_args()
+
+    if jax.process_count() > 1:
+        # First cross-process collective while all processes are still
+        # tightly aligned (just after spawn/initialize): each collective
+        # program's rendezvous has a short timeout, and the later stages
+        # (dataset listing, jit compiles racing the shared compilation
+        # cache) can skew processes past it. Aligning here keeps the
+        # subsequent identical work roughly in lockstep.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("irsde_train_start")
+
     opt = options.parse(args.opt, is_train=True)
 
     resume_state_path = opt["path"].get("resume_state")
@@ -108,6 +136,11 @@ def main():
             logger.info(
                 f"Train set: {len(train_set)} images, {steps_per_epoch} iters/epoch, "
                 f"target {total_iters} iters"
+            )
+            logger.info(
+                f"Data parallel: {jax.process_count()} process(es), global batch "
+                f"{dataset_opt['batch_size']}, per-process batch "
+                f"{getattr(train_loader, 'local_batch', dataset_opt['batch_size'])}"
             )
         elif phase == "val":
             val_set = create_dataset(dataset_opt)
@@ -175,14 +208,20 @@ def main():
             if tb:
                 tb.add_scalar("val_psnr", vm["psnr"], current_step)
 
-        if current_step % save_freq == 0 and rank0:
-            logger.info("Saving models and training states.")
+        if current_step % save_freq == 0:
+            if rank0:
+                logger.info("Saving models and training states.")
+            # EVERY process calls the save: orbax coordinates across hosts
+            # (primary host writes, the rest join its barrier) — a
+            # rank0-gated call would deadlock under multi-host. Single
+            # process, this is exactly the reference's rank-0 save.
             save_checkpoint(opt["path"], jax.device_get(state), epoch, current_step)
 
     batch_iter.close()  # stop the prefetch thread before interpreter exit
     if rank0:
         logger.info("Saving the final model.")
-        save_checkpoint(opt["path"], jax.device_get(state), epoch, current_step)
+    save_checkpoint(opt["path"], jax.device_get(state), epoch, current_step)
+    if rank0:
         logger.info("End of training.")
         if tb:
             tb.flush()
