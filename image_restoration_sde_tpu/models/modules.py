@@ -24,6 +24,17 @@ Dtype = Any
 # Pallas kernels auto-engage on TPU; IRSDE_DISABLE_PALLAS=1 turns them off
 _USE_PALLAS = os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
 
+# Measured crossover on the flagship sampler (BENCH.md): the custom kernels
+# win from batch 4 up (+53% at batch 8) but LOSE at batch 1-2 — XLA assigns
+# non-standard tiled layouts around the custom-calls at tiny batch and the
+# relayouts dominate.  Shapes are static under jit, so this is a trace-time
+# decision per call site.
+_PALLAS_MIN_BATCH = int(os.environ.get("IRSDE_PALLAS_MIN_BATCH", "4"))
+
+
+def use_pallas(batch: int) -> bool:
+    return _USE_PALLAS and batch >= _PALLAS_MIN_BATCH
+
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Transformer sinusoidal timestep embedding.
@@ -79,7 +90,7 @@ class ChannelLayerNorm(nn.Module):
         # Stats are computed in f32 INSIDE the op; feeding the native dtype
         # (and writing it back directly) avoids two full-size f32 round
         # trips per norm — bitwise identical to casting outside.
-        return channel_layernorm(x, g, eps, _USE_PALLAS).astype(self.dtype)
+        return channel_layernorm(x, g, eps, use_pallas(x.shape[0])).astype(self.dtype)
 
 
 def conv(
@@ -235,7 +246,7 @@ class LinearAttention(nn.Module):
         # The conv's (B, H, W, 3*h*d) output IS the kernel's packed layout —
         # no transposes, no f32 materialization (softmax runs f32 in-kernel).
         out = linear_attention_packed(
-            qkv.reshape(B, N, 3 * hidden), self.heads, self.dim_head, _USE_PALLAS
+            qkv.reshape(B, N, 3 * hidden), self.heads, self.dim_head, use_pallas(B)
         )
         out = out.reshape(B, H, W, hidden).astype(self.dtype)
 

@@ -29,6 +29,7 @@ from .modules import (
     pixel_shuffle,
     simple_gate,
     sinusoidal_pos_emb,
+    use_pallas,
 )
 
 # Runs of >= this many NAFBlocks at one pyramid level are fused into a
@@ -149,6 +150,9 @@ class ConditionalNAFNet(nn.Module):
             count >= _FUSE_MIN_BLOCKS
             and not self.is_initializing()
             and os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
+            # batch-1/2 layout poisoning around custom-calls (see
+            # modules._PALLAS_MIN_BATCH); interpret mode keeps tests running
+            and (use_pallas(x.shape[0]) or interp)
             and (jax.default_backend() == "tpu" or interp)
             # whole activation must stay VMEM-resident (f32 working set)
             and x.size * 4 <= 2**20

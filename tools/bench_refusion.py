@@ -56,18 +56,24 @@ def main():
         return compressor.apply(p, l, h, method=compressor.decode)
 
     sampler = make_latent_sampler(sde, score.apply, encode_fn, decode_fn, lat_params, mode="sde")
-    out = sampler(params, lq, key)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(reps):
+    # warm up the EXACT timed path (incl. fold_in's own first-call compile)
+    for i in (1_000_001, 1_000_002):
         out = sampler(params, lq, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out.block_until_ready()
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = sampler(params, lq, jax.random.fold_in(key, i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
     print(json.dumps({
         "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, NAFNet w64)",
-        "value": round(batch * reps / dt, 4),
+        "value": round(batch / med, 4),
         "unit": "img/s/chip",
-        "sec_per_image": round(dt / (batch * reps), 3),
+        "sec_per_image": round(med / batch, 3),
+        "rep_spread": [round(t, 3) for t in times],
     }))
 
 
