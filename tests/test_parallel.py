@@ -45,6 +45,55 @@ def test_dryrun_multichip_bootstraps_from_short_platform():
     assert "'data': 2, 'model': 2" in res.stdout
 
 
+def test_tensor_parallel_numeric_equivalence():
+    """dp=4 x tp=2 sharding is semantically transparent: the full train step
+    (loss + grads + Adam + EMA) gives the same numbers as one device.
+    Complements the DP-equivalence test (test_training.py) by column-sharding
+    the large conv kernels over the model axis."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_restoration_sde_tpu.models import ConditionalUNet
+    from image_restoration_sde_tpu.parallel import make_mesh
+    from image_restoration_sde_tpu.parallel.mesh import (
+        batch_sharding,
+        shape_based_tp_sharding,
+        shard_tree,
+    )
+    from image_restoration_sde_tpu.sde import IRSDE
+    from image_restoration_sde_tpu.training import create_train_state, make_train_step
+    from image_restoration_sde_tpu.training.optimizers import build_optimizer
+
+    sde = IRSDE.create(max_sigma=10.0, T=8, schedule="cosine", eps=0.005)
+    # nf=64 so the deepest kernels' trailing axis crosses the min_last=64
+    # sharding rule and tp actually engages
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=64, depth=2)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    gt = jnp.clip(lq + 0.1, 0, 1)
+    key = jax.random.PRNGKey(7)
+
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), lq, lq, jnp.ones((8,)))
+    tx = build_optimizer("Adam", 1e-4, 0.9, 0.99)
+    step_fn = make_train_step(sde, net.apply, tx)
+
+    s_single, m_single = jax.jit(step_fn)(create_train_state(params, tx), lq, gt, key)
+
+    mesh = make_mesh(model_parallel=2)  # (data=4, model=2)
+    sh = shape_based_tp_sharding(create_train_state(params, tx), mesh, min_last=64)
+    # the rule must shard at least one leaf or this test is vacuous
+    specs = {s.spec for s in jax.tree.leaves(sh)}
+    assert any(spec for spec in specs), specs
+    state_tp = shard_tree(create_train_state(params, tx), sh)
+    bs = batch_sharding(mesh)
+    s_tp, m_tp = jax.jit(step_fn)(
+        state_tp, jax.device_put(lq, bs), jax.device_put(gt, bs), key
+    )
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_shape_based_tp_sharding_rule():
     import numpy as np
     from jax.sharding import PartitionSpec as P
