@@ -61,10 +61,17 @@ class StepTimer:
 
 def estimate_mfu(fn: Callable, args, step_seconds: float, peak_flops: Optional[float] = None) -> float:
     """MFU = (XLA-reported FLOPs per call) / (peak * step_seconds)."""
-    cost = jax.jit(fn).lower(*args).cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0] if cost else {}
-    flops = float((cost or {}).get("flops", 0.0))
+    lowered = jax.jit(fn).lower(*args)
+
+    def _flops(cost):
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float((cost or {}).get("flops", 0.0))
+
+    flops = _flops(lowered.cost_analysis())
+    if not flops:
+        # some backends only report cost post-compile (compilation is cached)
+        flops = _flops(lowered.compile().cost_analysis())
     if peak_flops is None:
         kind = jax.devices()[0].device_kind.lower()
         peak_flops = 197e12 if "v5 lite" in kind or "v5e" in kind else 275e12

@@ -334,3 +334,53 @@ def test_grad_accum_matches_big_batch(tiny_setup):
 
     for a, b in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_resume_exactness(tiny_setup, tmp_path):
+    """Resume is exact, not approximate: save at step 3, restore into a
+    fresh state, continue — the continued run reproduces the uninterrupted
+    run's losses and parameters bit-for-bit (the step key is folded from
+    state.step, so the random stream also resumes).  Ref semantics:
+    base_model.py:107-131 resume_training / check_resume."""
+    from image_restoration_sde_tpu.training.checkpoint import (
+        load_training_state,
+        save_training_state,
+        wait_for_checkpoints,
+    )
+
+    sde, net, params, tx, step_fn = tiny_setup
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    jit_step = jax.jit(step_fn)
+    key = jax.random.PRNGKey(123)
+    batches = [
+        (jax.random.uniform(jax.random.PRNGKey(100 + i), (4, 8, 8, 3)),)
+        for i in range(6)
+    ]
+    batches = [(lq, jnp.clip(lq + 0.1, 0, 1)) for (lq,) in batches]
+
+    # uninterrupted run
+    state = create_train_state(params, tx)
+    losses_a = []
+    for lq, gt in batches:
+        state, m = jit_step(state, lq, gt, key)
+        losses_a.append(float(m["loss"]))
+
+    # interrupted at step 3 + resumed from the saved artifact
+    state_b = create_train_state(params, tx)
+    for lq, gt in batches[:3]:
+        state_b, _ = jit_step(state_b, lq, gt, key)
+    path = save_training_state(str(tmp_path / "ts"), jax.device_get(state_b), 0, 3)
+    wait_for_checkpoints()
+    restored, epoch, it = load_training_state(path, create_train_state(params, tx))
+    assert (epoch, it) == (0, 3)
+    assert int(restored.step) == 3
+    losses_b = []
+    for lq, gt in batches[3:]:
+        restored, m = jit_step(restored, lq, gt, key)
+        losses_b.append(float(m["loss"]))
+
+    assert losses_b == losses_a[3:], (losses_a, losses_b)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.ema.params), jax.tree.leaves(restored.ema.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

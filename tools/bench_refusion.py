@@ -35,13 +35,24 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
+    arch = os.environ.get("BENCH_ARCH", "nafnet")  # nafnet | dit
+
     sde = IRSDE.create(max_sigma=50.0, T=steps, schedule="cosine", eps=0.005)
     compressor = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(4, 8, 8, 16), embed_dim=8,
                       dtype=jnp.bfloat16)
-    score = ConditionalNAFNet(
-        img_channel=8, width=64, middle_blk_num=1,
-        enc_blk_nums=(1, 1, 1, 28), dec_blk_nums=(1, 1, 1, 1), dtype=jnp.bfloat16,
-    )
+    if arch == "dit":
+        # the latent-dehazing DiT alternative backbone
+        # (configs/latent-dehazing/train/dit.yml: DiT_L_2, in_channels 8)
+        from image_restoration_sde_tpu.models.dit import DiT_L_2
+
+        score = DiT_L_2(in_channels=8, dtype=jnp.bfloat16)
+        label = "DiT-L/2"
+    else:
+        score = ConditionalNAFNet(
+            img_channel=8, width=64, middle_blk_num=1,
+            enc_blk_nums=(1, 1, 1, 28), dec_blk_nums=(1, 1, 1, 1), dtype=jnp.bfloat16,
+        )
+        label = "NAFNet w64"
 
     key = jax.random.PRNGKey(0)
     lq = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
@@ -69,7 +80,7 @@ def main():
     times.sort()
     med = times[len(times) // 2]
     print(json.dumps({
-        "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, NAFNet w64)",
+        "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, {label})",
         "value": round(batch / med, 4),
         "unit": "img/s/chip",
         "sec_per_image": round(med / batch, 3),

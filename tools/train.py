@@ -51,6 +51,11 @@ if os.environ.get("IRSDE_MULTIHOST") == "1":
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
     jax.distributed.initialize(**_kw)
+# Training default: keep the pallas kernels OFF. Their custom-vjp backward
+# is ~2% slower than XLA's fused bwd at the flagship train shapes
+# (BENCH.md); they are a sampling-path win (tools/test.py keeps the
+# measured batch>=4 gate). Read at package import, so set before it.
+os.environ.setdefault("IRSDE_PALLAS_MIN_BATCH", "1000000000")
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
