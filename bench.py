@@ -51,7 +51,14 @@ def main():
     lq = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
     params = jax.jit(net.init)(key, lq, lq, jnp.zeros((batch,)))
 
-    sampler = make_restoration_sampler(sde, net.apply, mode="sde")
+    # cast_params=bf16 measured ~2% SLOWER for this conv UNet (params are a
+    # small slice of its HBM traffic; the cast pass + layout change lose
+    # more than the halved reads gain) — it is a win for the param-heavy
+    # latent score nets (tools/bench_refusion.py) and stays off here.
+    sampler = make_restoration_sampler(
+        sde, net.apply, mode="sde",
+        cast_params=jnp.bfloat16 if os.environ.get("BENCH_CAST") else None,
+    )
 
     # warmup / compile — exercise the EXACT timed path (incl. fold_in, whose
     # own first-call compile otherwise lands inside the timed region)

@@ -13,6 +13,7 @@ Size ladder: DiT_{S,B,L,XL}_{2,4,8} (DiT_arch.py:369-411).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -51,9 +52,48 @@ class MHA(nn.Module):
         qkv = nn.Dense(D * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.heads, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32), k.astype(jnp.float32))
-        attn = jax.nn.softmax(attn * dh**-0.5, axis=-1)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32))
+        if (
+            os.environ.get("IRSDE_DIT_FLASH") == "1"
+            and jax.default_backend() == "tpu"
+            and N % 128 == 0
+            and self.dtype != jnp.float32
+        ):
+            # Flash attention (pallas), opt-in: avoids materializing the NxN
+            # scores, but measured only ~2% faster end-to-end at the 4096-token
+            # dehazing latent (the scan is not attention-bound there) and the
+            # stock kernel faults at batch 4 on v5e — so the einsum path
+            # below stays the default.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), sm_scale=dh**-0.5,
+            ).transpose(0, 2, 1, 3)
+        elif N < 2048:
+            # MXU-native: bf16 operands, f32 accumulation; softmax stays
+            # f32.  (All-f32 operands here made the whole net memory-bound
+            # at short sequences: 12.7 GB accessed per forward vs 0.9 GB of
+            # bf16 weights — 6x measured end-to-end win at 1024 tokens.)
+            attn = jnp.einsum(
+                "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(attn * dh**-0.5, axis=-1)
+            out = jnp.einsum(
+                "bhij,bjhd->bihd", attn.astype(self.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # Long sequences: f32 operands measured 1.7x FASTER end-to-end
+            # than the bf16/f32-accum variant at 4096 tokens on v5e (XLA
+            # fuses the f32 score chain; the mixed-precision one it does
+            # not) — empirical crossover at ~2k tokens.
+            attn = jnp.einsum(
+                "bihd,bjhd->bhij", q.astype(jnp.float32), k.astype(jnp.float32)
+            )
+            attn = jax.nn.softmax(attn * dh**-0.5, axis=-1)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(jnp.float32))
         out = out.reshape(B, N, D).astype(self.dtype)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
@@ -72,6 +112,7 @@ class DiTBlock(nn.Module):
             6 * self.hidden,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             param_dtype=jnp.float32,
             name="adaLN",
         )(nn.silu(c))
@@ -137,7 +178,8 @@ class DiT(nn.Module):
         # final layer: adaLN (2-way) + zero-init linear to patch pixels
         mod = nn.Dense(
             2 * self.hidden_size, kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros, param_dtype=jnp.float32, name="final_adaLN",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=jnp.float32, name="final_adaLN",
         )(nn.silu(t))
         shift, scale = jnp.split(mod, 2, axis=-1)
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)

@@ -26,6 +26,19 @@ from .sde.denoising_sde import DenoisingSDE
 SAMPLING_MODES = ("sde", "posterior", "ode")
 
 
+def cast_f32_leaves(tree, dtype):
+    """Cast every f32 leaf to ``dtype`` (one-time, hoisted before the scan).
+
+    At sampling time the score net re-reads its full parameter set every
+    one of the T steps; for bf16-compute nets, feeding bf16 parameters
+    halves that HBM traffic (and is numerically identical wherever the net
+    already casts params to its compute dtype per op).  Opt-in: f32-math
+    parameter islands (e.g. DiT's adaLN when dtype=f32) get rounded."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree
+    )
+
+
 def _sample_chunk(batch: int, chunk: Optional[int]) -> int:
     """Sub-batch size the sampler scans over.
 
@@ -50,6 +63,7 @@ def make_restoration_sampler(
     mode: str = "posterior",
     steps: Optional[int] = None,
     chunk: Optional[int] = None,
+    cast_params=None,
 ) -> Callable:
     """Returns jitted ``sample(params, lq, key) -> restored`` (NHWC)."""
     if mode not in SAMPLING_MODES:
@@ -70,6 +84,8 @@ def make_restoration_sampler(
 
     @jax.jit
     def sample(params, lq, key):
+        if cast_params is not None:
+            params = cast_f32_leaves(params, cast_params)
         B = lq.shape[0]
         c = _sample_chunk(B, chunk)
         if c == B:

@@ -140,15 +140,21 @@ def make_latent_sampler(
     latent_params: Any,
     mode: str = "sde",
     steps: Optional[int] = None,
+    cast_params=None,
 ):
     """jitted ``sample(params, lq, key[, cond]) -> restored image``: encode
     LQ, noise the latent, reverse-diffuse, decode with the LQ skips.  The
     optional ``cond`` pytree (e.g. the bokeh lens tuple) is forwarded to
-    ``model_apply`` each step."""
+    ``model_apply`` each step.  ``cast_params``: see
+    ``sampling.cast_f32_leaves`` (applies to the score net, which is read
+    every step; the one-shot compressor stays f32)."""
+    from ..sampling import cast_f32_leaves
     from ..sde import samplers
 
     @jax.jit
     def sample(params, lq, key, cond=None):
+        if cast_params is not None:
+            params = cast_f32_leaves(params, cast_params)
         latent_lq, hidden = encode_fn(latent_params, lq)
         k_init, k_chain = jax.random.split(key)
         noisy = sde.noise_state(k_init, latent_lq)

@@ -23,6 +23,9 @@ jax.config.update(
 )
 if os.environ.get("IRSDE_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
+# match tools/train.py: kernels off on the training path (their custom-vjp
+# bwd is ~2% slower than XLA's fused bwd — BENCH.md)
+os.environ.setdefault("IRSDE_PALLAS_MIN_BATCH", "1000000000")
 import jax.numpy as jnp
 
 from image_restoration_sde_tpu.models import ConditionalUNet
