@@ -27,7 +27,7 @@ import numpy as np
 
 from .data.io_utils import save_img
 from .models import build_network
-from .parallel import make_mesh, shard_batch
+from .parallel import make_mesh, process_is_primary, replicate, shard_batch
 from .sampling import make_denoising_sampler, make_restoration_sampler, pad_to_bucket, unpad
 from .sde import IRSDE, samplers
 from .sde.denoising_sde import DenoisingSDE
@@ -146,6 +146,19 @@ class _Base:
             sum(p.size for p in jax.tree.leaves(tree)) for tree in self.params_trees().values()
         )
 
+    def _globalize(self, x):
+        """Place a host-side sampler input on the computation's device set.
+
+        Single-process: identity (jit commits it to the default device).
+        Multi-process: the sampler's params are global mesh arrays, so every
+        input must be a global array on the same mesh — each process holds
+        the identical full value (unsharded EvalLoader), which is exactly a
+        replicated global array.  Required for multi-host-safe validation
+        (ref rank-0 val, config/deraining/train.py:261-281)."""
+        if jax.process_count() > 1:
+            return replicate(jnp.asarray(x), self.mesh)
+        return jnp.asarray(x)
+
     def maybe_load_pretrained(self, resume: bool):
         raise NotImplementedError
 
@@ -219,7 +232,7 @@ class PixelDiffusionTask(_Base):
         else:
             lq = self.prepare_pair({**batch, "GT": batch.get("GT", batch["LQ"])})[0]
         vlq, hw = pad_to_bucket(np.asarray(lq), 64)
-        out = unpad(self.sampler(params, jnp.asarray(vlq), key), hw)
+        out = unpad(self.sampler(params, self._globalize(vlq), self._globalize(key)), hw)
         return np.asarray(out), np.asarray(lq)
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
@@ -230,11 +243,11 @@ class PixelDiffusionTask(_Base):
                 break
             lq, gt = self.prepare_pair(vb)
             vlq, hw = pad_to_bucket(np.asarray(lq), 64)
-            out = unpad(self.sampler(state.params, jnp.asarray(vlq), key), hw)
+            out = unpad(self.sampler(state.params, self._globalize(vlq), self._globalize(key)), hw)
             out_img = tensor2img(out[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
-            if i < 3:
+            if i < 3 and process_is_primary():
                 save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
@@ -300,7 +313,7 @@ class GaussianDenoisingTask(_Base):
         else:
             noisy = add_noise(jnp.asarray(batch["GT"]), key, self.sigma)
         vlq, hw = pad_to_bucket(np.asarray(noisy), 64)
-        out = unpad(self.sampler(params, jnp.asarray(vlq)), hw)
+        out = unpad(self.sampler(params, self._globalize(vlq)), hw)
         return np.asarray(out), np.asarray(noisy)
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
@@ -312,11 +325,11 @@ class GaussianDenoisingTask(_Base):
             gt = jnp.asarray(vb["GT"])
             noisy = add_noise(gt, jax.random.fold_in(key, i), self.sigma)
             vlq, hw = pad_to_bucket(np.asarray(noisy), 64)
-            out = unpad(self.sampler(state.params, jnp.asarray(vlq)), hw)
+            out = unpad(self.sampler(state.params, self._globalize(vlq)), hw)
             out_img = tensor2img(out[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
-            if i < 3:
+            if i < 3 and process_is_primary():
                 save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
@@ -382,7 +395,7 @@ class CompressorTask(_Base):
         lq, hw = pad_to_bucket(np.asarray(batch["LQ"]), 64)
         gt = batch.get("GT", batch["LQ"])
         gtp, _ = pad_to_bucket(np.asarray(gt), 64)
-        out = unpad(self._cross_decode(params, jnp.asarray(lq), jnp.asarray(gtp)), hw)
+        out = unpad(self._cross_decode(params, self._globalize(lq), self._globalize(gtp)), hw)
         return np.asarray(out), np.asarray(batch["LQ"])
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
@@ -393,11 +406,11 @@ class CompressorTask(_Base):
                 break
             lq, hw = pad_to_bucket(np.asarray(vb["LQ"]), 64)
             gt, _ = pad_to_bucket(np.asarray(vb["GT"]), 64)
-            fake_gt = unpad(self._cross_decode(state.params, jnp.asarray(lq), jnp.asarray(gt)), hw)
+            fake_gt = unpad(self._cross_decode(state.params, self._globalize(lq), self._globalize(gt)), hw)
             out_img = tensor2img(fake_gt[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(vb["GT"][0]))
             n += 1
-            if i < 3:
+            if i < 3 and process_is_primary():
                 save_img(out_img, os.path.join(out_dir, f"{step}_{i}_fakeGT.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
@@ -492,7 +505,7 @@ class LatentDiffusionTask(_Base):
         if self._sampler is None:
             self._build_fns()
         vlq, hw = pad_to_bucket(np.asarray(batch["LQ"]), 64)
-        out = unpad(self._sampler(params, jnp.asarray(vlq), key), hw)
+        out = unpad(self._sampler(params, self._globalize(vlq), self._globalize(key)), hw)
         return np.asarray(out), np.asarray(batch["LQ"])
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
@@ -504,11 +517,11 @@ class LatentDiffusionTask(_Base):
             if i >= max_val:
                 break
             vlq, hw = pad_to_bucket(np.asarray(vb["LQ"]), 64)
-            out = unpad(self._sampler(state.params, jnp.asarray(vlq), key), hw)
+            out = unpad(self._sampler(state.params, self._globalize(vlq), self._globalize(key)), hw)
             out_img = tensor2img(out[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(vb["GT"][0]))
             n += 1
-            if i < 3:
+            if i < 3 and process_is_primary():
                 save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
@@ -569,7 +582,13 @@ class BokehLatentDiffusionTask(LatentDiffusionTask):
         if self._sampler is None:
             self._build_fns()
         vlq, hw = pad_to_bucket(np.asarray(batch["LQ"]), 64)
-        out = unpad(self._sampler(params, jnp.asarray(vlq), key, self._lens(batch)), hw)
+        out = unpad(
+            self._sampler(
+                params, self._globalize(vlq), self._globalize(key),
+                jax.tree.map(self._globalize, self._lens(batch)),
+            ),
+            hw,
+        )
         return np.asarray(out), np.asarray(batch["LQ"])
 
     def validate(self, state, loader, key, out_dir, step) -> Dict[str, float]:
@@ -584,6 +603,6 @@ class BokehLatentDiffusionTask(LatentDiffusionTask):
             out_img = tensor2img(out[0])
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(vb["GT"][0]))
             n += 1
-            if i < 3:
+            if i < 3 and process_is_primary():
                 save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
         return {"psnr": avg_psnr / max(1, n)}

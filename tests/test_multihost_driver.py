@@ -33,13 +33,19 @@ def _write_dataset(root):
     from PIL import Image
 
     rs = np.random.RandomState(0)
-    for sub in ["GT", "LQ"]:
-        os.makedirs(root / "train" / sub, exist_ok=True)
+    for split in ["train", "val"]:
+        for sub in ["GT", "LQ"]:
+            os.makedirs(root / split / sub, exist_ok=True)
     for i in range(8):
         gt = (rs.rand(24, 24, 3) * 255).astype(np.uint8)
         lq = np.clip(gt.astype(int) + 30, 0, 255).astype(np.uint8)
         Image.fromarray(gt).save(root / "train" / "GT" / f"im{i}.png")
         Image.fromarray(lq).save(root / "train" / "LQ" / f"im{i}.png")
+    # val: a fixed 64x64 pair (bucket-aligned -> one sampler compile)
+    gt = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    lq = np.clip(gt.astype(int) + 30, 0, 255).astype(np.uint8)
+    Image.fromarray(gt).save(root / "val" / "GT" / "v0.png")
+    Image.fromarray(lq).save(root / "val" / "LQ" / "v0.png")
 
 
 def test_two_process_train_driver(tmp_path):
@@ -57,6 +63,13 @@ def test_two_process_train_driver(tmp_path):
                       "n_workers": 1, "batch_size": 4, "GT_size": 16,
                       "LR_size": 16, "use_flip": True, "use_rot": True,
                       "dataset_enlarge_ratio": 4},
+            # a real val set with val_freq <= niter: the round-2 deadlock
+            # (rank-0-gated jit on global mesh arrays) is exercised here —
+            # before the fix this test would hang at step 2
+            "val": {"name": "v", "mode": "LQGT",
+                    "dataroot_GT": str(tmp_path / "val" / "GT"),
+                    "dataroot_LQ": str(tmp_path / "val" / "LQ"),
+                    "max_images": 1},
         },
         "network_G": {"which_model_G": "ConditionalUNet",
                       "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
@@ -64,7 +77,7 @@ def test_two_process_train_driver(tmp_path):
         "train": {"optimizer": "Adam", "lr_G": 1e-4, "lr_scheme": "MultiStepLR",
                   "beta1": 0.9, "beta2": 0.99, "niter": 3, "warmup_iter": -1,
                   "lr_steps": [], "is_weighted": False, "loss_type": "l1",
-                  "weight": 1.0, "manual_seed": 1, "val_freq": 100},
+                  "weight": 1.0, "manual_seed": 1, "val_freq": 2},
         "logger": {"print_freq": 1, "save_checkpoint_freq": 100},
     }
     opt_path = tmp_path / "mh.yml"
@@ -106,6 +119,12 @@ def test_two_process_train_driver(tmp_path):
     # synchronized steps ran: rank 0 logged a finite loss for each iter
     losses = [float(m) for m in re.findall(r"loss: ([0-9.e+-]+)", outs[0])]
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+    # in-training validation ran multi-host (every process entered the
+    # sampler; rank 0 logged the PSNR) — the round-2 deadlock is gone
+    val_psnrs = [float(m) for m in re.findall(r"psnr: ([0-9.]+)", outs[0])]
+    assert val_psnrs and all(np.isfinite(val_psnrs)), outs[0][-3000:]
+    assert "psnr" not in outs[1]
 
     # rank-0-only checkpointing (ref train.py:305), exactly one final save
     hits = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "mh" / "models" / "3_G"))

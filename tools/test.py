@@ -34,7 +34,7 @@ import numpy as np
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
 from image_restoration_sde_tpu.data.io_utils import save_img
 from image_restoration_sde_tpu.data.transforms import rgb2ycbcr
-from image_restoration_sde_tpu.parallel import make_mesh
+from image_restoration_sde_tpu.parallel import make_mesh, process_is_primary
 from image_restoration_sde_tpu.runners import build_task
 from image_restoration_sde_tpu.utils import metrics, options, tensor2img
 from image_restoration_sde_tpu.utils.logging_utils import mkdirs, setup_logger
@@ -66,10 +66,18 @@ def main():
     args = parser.parse_args()
     opt = options.dict_to_nonedict(options.parse(args.opt, is_train=False))
 
-    mkdirs([opt["path"]["results_root"], opt["path"]["log"]])
-    setup_logger("base", opt["path"]["log"], "test_" + opt["name"], screen=True, tofile=True)
+    # Multi-process safety (same hazard as in-training validation): every
+    # process runs the jitted sampler (task.state may hold global mesh
+    # arrays), but file writes and logging are rank-0-only.
+    rank0 = process_is_primary()
+    if rank0:
+        mkdirs([opt["path"]["results_root"], opt["path"]["log"]])
+        setup_logger("base", opt["path"]["log"], "test_" + opt["name"], screen=True, tofile=True)
+    else:
+        setup_logger("base", opt["path"]["log"], "test", screen=False)
     logger = logging.getLogger("base")
-    logger.info(options.dict2str(opt))
+    if rank0:
+        logger.info(options.dict2str(opt))
 
     mesh = make_mesh()
     key = jax.random.PRNGKey(opt["seed"] or 0)
@@ -88,7 +96,8 @@ def main():
         name = dataset_opt["name"]
         logger.info(f"Testing [{name}] : {len(test_set)} images")
         out_dir = os.path.join(opt["path"]["results_root"], name)
-        mkdirs(out_dir)
+        if rank0:
+            mkdirs(out_dir)
 
         sums = dict(psnr=0.0, ssim=0.0, psnr_y=0.0, ssim_y=0.0, lpips=0.0, time=0.0)
         n, n_lpips = 0, 0
@@ -117,12 +126,14 @@ def main():
             dt = time.perf_counter() - t0
 
             out_img = tensor2img(out[0])
-            save_img(out_img, os.path.join(out_dir, f"{base}.png"))
-            save_img(tensor2img(lq_used[0]), os.path.join(out_dir, f"{base}_LQ.png"))
+            if rank0:
+                save_img(out_img, os.path.join(out_dir, f"{base}.png"))
+                save_img(tensor2img(lq_used[0]), os.path.join(out_dir, f"{base}_LQ.png"))
 
             if has_gt:
                 gt_img = tensor2img(batch["GT"][0])
-                save_img(gt_img, os.path.join(out_dir, f"{base}_GT.png"))
+                if rank0:
+                    save_img(gt_img, os.path.join(out_dir, f"{base}_GT.png"))
                 # ref test.py: crop_border defaults to the sr scale
                 crop = int(opt["crop_border"] or (opt["degradation"]["scale"] if opt["distortion"] == "sr" else 0) or 0)
                 o, g = out_img, gt_img

@@ -201,17 +201,28 @@ def main():
                 tb.add_scalar("loss", loss, current_step)
                 tb.add_scalar("img_per_sec", ips, current_step)
 
-        if val_loader is not None and current_step % val_freq == 0 and rank0:
+        if val_loader is not None and current_step % val_freq == 0:
+            # EVERY process enters validation: the sampler is a jitted
+            # computation over the global (multi-process) mesh arrays in
+            # ``state``, so a rank-0-only call would deadlock under
+            # multi-host (every process must join each collective
+            # program).  The val loader is unsharded (same batches on all
+            # processes, EvalLoader), so all processes compute identical
+            # metrics; host-side work (image saves, logging, TB) stays
+            # rank-0-only inside validate / below — matching the
+            # reference's rank-0 validation semantics
+            # (ref config/deraining/train.py:261-281).
             val_key = jax.random.fold_in(base_key, current_step)
             vm = task.validate(state, val_loader, val_key, opt["path"]["val_images"], current_step)
-            if vm["psnr"] > best_psnr:
-                best_psnr, best_iter = vm["psnr"], current_step
-            logger_val.info(
-                f"<epoch:{epoch:3d}, iter:{current_step:8,d}, psnr: {vm['psnr']:.6f}, "
-                f"best psnr: {best_psnr:.6f} @ iter {best_iter:,d}>"
-            )
-            if tb:
-                tb.add_scalar("val_psnr", vm["psnr"], current_step)
+            if rank0:
+                if vm["psnr"] > best_psnr:
+                    best_psnr, best_iter = vm["psnr"], current_step
+                logger_val.info(
+                    f"<epoch:{epoch:3d}, iter:{current_step:8,d}, psnr: {vm['psnr']:.6f}, "
+                    f"best psnr: {best_psnr:.6f} @ iter {best_iter:,d}>"
+                )
+                if tb:
+                    tb.add_scalar("val_psnr", vm["psnr"], current_step)
 
         if current_step % save_freq == 0:
             if rank0:
