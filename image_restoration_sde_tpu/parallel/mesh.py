@@ -97,4 +97,17 @@ def shape_based_tp_sharding(tree, mesh: Mesh, min_last: int = 64):
 
 
 def shard_tree(tree, shardings):
-    return jax.tree.map(jax.device_put, tree, shardings)
+    """Place host values under per-leaf shardings (TP state placement).
+
+    Single-process: plain ``device_put``.  Multi-process: each process holds
+    the full host value (params are built identically everywhere), so each
+    addressable shard is cut out of the local copy via
+    ``make_array_from_callback`` — no cross-host transfer."""
+
+    def put(x, sh):
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree, shardings)

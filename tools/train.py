@@ -59,7 +59,13 @@ os.environ.setdefault("IRSDE_PALLAS_MIN_BATCH", "1000000000")
 import numpy as np
 
 from image_restoration_sde_tpu.data import create_dataloader, create_dataset
-from image_restoration_sde_tpu.parallel import make_mesh, process_is_primary, replicate
+from image_restoration_sde_tpu.parallel import (
+    make_mesh,
+    process_is_primary,
+    replicate,
+    shape_based_tp_sharding,
+    shard_tree,
+)
 from image_restoration_sde_tpu.runners import build_task
 from image_restoration_sde_tpu.training.checkpoint import (
     finalize_checkpoints,
@@ -154,7 +160,13 @@ def main():
     assert train_loader is not None
 
     # ------------------------------------------------------------- task
-    mesh = make_mesh()
+    # Tensor parallelism: YAML ``train.model_parallel`` (or env IRSDE_TP)
+    # sizes the mesh's 'model' axis; large kernels are column-sharded over
+    # it (shape_based_tp_sharding) while batches stay on 'data'.  This
+    # generalizes the reference's DDP-only stack (ref train.py:28-40);
+    # model_parallel=1 (default) is exactly data parallelism.
+    tp = int(os.environ.get("IRSDE_TP") or (opt["train"]["model_parallel"] or 1))
+    mesh = make_mesh(model_parallel=tp)
     task = build_task(opt, mesh, seed, base_key)
     logger.info(f"Task {type(task).__name__}: {task.n_params():,d} parameters")
     task.maybe_load_pretrained(resume=bool(resume_state_path))
@@ -164,7 +176,14 @@ def main():
     if resume_state_path:
         state, start_epoch, current_step = load_training_state(resume_state_path, state)
         logger.info(f"Resuming training from epoch {start_epoch}, iter {current_step}")
-    state = replicate(state, mesh)
+    if tp > 1:
+        state = shard_tree(state, shape_based_tp_sharding(state, mesh))
+        logger.info(
+            f"Tensor parallel: mesh {dict(mesh.shape)} "
+            f"(data {mesh.shape['data']} x model {mesh.shape['model']})"
+        )
+    else:
+        state = replicate(state, mesh)
 
     print_freq = int(opt["logger"]["print_freq"] or 100)
     save_freq = int(opt["logger"]["save_checkpoint_freq"] or 5000)
