@@ -98,8 +98,12 @@ def read_img_lmdb(env, key: str, size: Tuple[int, int, int]) -> np.ndarray:
 
 
 def open_lmdb(dataroot: str):
-    import lmdb  # gated: optional dependency
+    try:
+        import lmdb  # optional: the C extension when present
+    except ImportError:
+        from .mdb import MdbEnv  # pure-Python MDB-format fallback
 
+        return MdbEnv(dataroot)
     return lmdb.open(
         dataroot, readonly=True, lock=False, readahead=False, meminit=False
     )
