@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -75,8 +76,7 @@ def main():
         out = sampler(params, lq, jax.random.fold_in(key, i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
-    times.sort()
-    imgs_per_sec = batch / times[len(times) // 2]
+    imgs_per_sec = batch / statistics.median(times)
     print(
         json.dumps(
             {

@@ -222,9 +222,19 @@ def _ctx_kernel(k_ref, v_ref, o_ref, m_sc, s_sc, acc_sc, *, n_total, dim_head):
 
 def _apply_kernel(q_ref, ctx_ref, o_ref, *, dim_head):
     q = q_ref[0].astype(jnp.float32)  # (Nt, 128)
-    # per-head softmax over d, shifted by the GLOBAL row max (>= per-head
-    # max, so exp <= 1; the shift cancels in the normalization — exact)
-    e = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+    # per-head softmax over d, shifted by the PER-HEAD row max (a global-max
+    # shift is exact in real arithmetic but underflows a whole head to 0/0
+    # when its logits sit ~88+ below another head's).  The per-head max is
+    # built with lane-masked reduces — no reshape/transpose, stays in the
+    # native (sublane, lane) layout.
+    heads = _HID // dim_head
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, _HID), 1) // dim_head
+    m = jnp.zeros_like(q)
+    for h in range(heads):
+        sel = lane_head == h  # (1, 128), broadcasts over Nt
+        mh = jnp.max(jnp.where(sel, q, -jnp.inf), axis=1, keepdims=True)  # (Nt, 1)
+        m = m + jnp.where(sel, mh, 0.0)
+    e = jnp.exp(q - m)
     seg = jax.lax.dot_general(
         e, _head_mask(dim_head), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -52,8 +52,13 @@ def _sample_chunk(batch: int, chunk: Optional[int]) -> int:
         chunk = int(os.environ.get("IRSDE_SAMPLE_CHUNK", "8"))
     if chunk <= 0:
         return batch
+    want = chunk
     while chunk > 1 and batch % chunk:
         chunk -= 1
+    if chunk < max(1, want // 2):
+        # batch coprime to the target (e.g. B=11): serializing into
+        # near-batch-1 scans loses far more than the VMEM sweet spot wins
+        return batch
     return min(chunk, batch)
 
 
@@ -82,18 +87,30 @@ def make_restoration_sampler(
             return samplers.reverse_posterior(sde, noise_fn, noisy, lq, k_chain, steps=steps)
         return samplers.reverse_ode(sde, noise_fn, noisy, lq, steps=steps)
 
-    @jax.jit
-    def sample(params, lq, key):
+    @partial(jax.jit, static_argnames="c")
+    def _sample(params, lq, key, c):
         if cast_params is not None:
             params = cast_f32_leaves(params, cast_params)
         B = lq.shape[0]
-        c = _sample_chunk(B, chunk)
         if c == B:
             return sample_one(params, lq, key)
         lqs = lq.reshape(B // c, c, *lq.shape[1:])
         keys = jax.random.split(key, B // c)
         out = jax.lax.map(lambda a: sample_one(params, a[0], a[1]), (lqs, keys))
         return out.reshape(B, *out.shape[2:])
+
+    def sample(params, lq, key):
+        B = lq.shape[0]
+        # chunking is a single-device VMEM-residency trick: a batch that is
+        # sharded over a mesh is already at its per-device operating point,
+        # and lax.map would serialize the devices' work instead
+        sharded = (
+            isinstance(lq, jax.Array)
+            and hasattr(lq, "sharding")
+            and len(getattr(lq.sharding, "device_set", ())) > 1
+        )
+        c = B if sharded else _sample_chunk(B, chunk)
+        return _sample(params, lq, key, c=c)
 
     return sample
 

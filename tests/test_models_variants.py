@@ -91,6 +91,31 @@ def test_dit_adaln_zero_and_shapes():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_dit_bf16_pins_f32_within_tolerance():
+    """bf16 inference (incl. the bf16 adaLN modulation chain) must track the
+    f32 path within bf16 rounding — pins the deliberate dtype drift so
+    imported-torch-checkpoint outputs can't silently diverge further."""
+    kw = dict(patch_size=2, in_channels=4, hidden_size=64, depth=2, num_heads=4)
+    net32 = DiT(**kw)
+    net16 = DiT(dtype=jnp.bfloat16, **kw)
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (2, 16, 16, 4), jnp.float32)
+    c = jax.random.uniform(jax.random.fold_in(key, 1), (2, 16, 16, 4), jnp.float32)
+    params = jax.jit(net32.init)(key, x, c, jnp.array([5.0, 9.0]))
+    # zero-init adaLN/final would hide the modulation chain: randomize it
+    params = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(key, a.shape, a.dtype), params
+    )
+    o32 = jax.jit(net32.apply)(params, x, c, jnp.array([5.0, 9.0]))
+    o16 = jax.jit(net16.apply)(params, x, c, jnp.array([5.0, 9.0]))
+    assert o16.dtype == jnp.float32  # outputs are always f32
+    scale = float(jnp.max(jnp.abs(o32))) + 1e-30
+    rel = float(jnp.max(jnp.abs(o16 - o32))) / scale
+    # bf16 has ~2-3 significant decimal digits; the 2-block chain compounds
+    # to at most a few percent — fail loudly if a future change exceeds it
+    assert rel < 0.05, rel
+
+
 def test_dit_registry_sizes():
     net = build_network("DiT_S_8", {"in_channels": 8})
     assert net.hidden_size == 384 and net.depth == 12 and net.patch_size == 8

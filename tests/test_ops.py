@@ -122,6 +122,26 @@ def test_packed_linear_attention_matches_composition():
         assert float(jnp.max(jnp.abs(got_pal - ref))) / scale < 1e-4
 
 
+def test_packed_linear_attention_outlier_head_no_nan():
+    """Per-head softmax shift: a head whose q-logits sit ~120 below another
+    head's max must still produce finite, correct outputs (a global-max
+    shift underflows the whole head's exp to 0 and yields 0/0 NaN)."""
+    from image_restoration_sde_tpu.ops.linear_attention import (
+        _jnp_packed,
+        _pallas_packed,
+    )
+
+    key = jax.random.PRNGKey(11)
+    qkv = jax.random.normal(key, (1, 256, 384), jnp.float32)
+    # q channels of head 0 get a +120 logit offset (trained outlier scale)
+    qkv = qkv.at[:, :, :32].add(120.0)
+    ref = _jnp_packed(qkv, 4, 32)
+    got = jax.jit(lambda t: _pallas_packed(t, 32, interpret=True))(qkv)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-4
+
+
 def test_packed_linear_attention_bf16_and_grads():
     from image_restoration_sde_tpu.ops.linear_attention import (
         _jnp_packed,

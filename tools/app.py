@@ -30,14 +30,14 @@ from image_restoration_sde_tpu.runners import build_task
 from image_restoration_sde_tpu.utils import options, tensor2img
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--src-lens", type=float, default=18.0)
     parser.add_argument("--tgt-lens", type=float, default=-160.0)
     parser.add_argument("--disparity", type=float, default=1.0)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     try:
         import gradio as gr

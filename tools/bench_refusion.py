@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,7 +84,7 @@ def main():
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     times.sort()
-    med = times[len(times) // 2]
+    med = statistics.median(times)
     print(json.dumps({
         "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, {label})",
         "value": round(batch / med, 4),
