@@ -53,24 +53,20 @@ class MHA(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.heads, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if (
-            os.environ.get("IRSDE_DIT_FLASH") == "1"
-            and jax.default_backend() == "tpu"
+            N >= 2048
             and N % 128 == 0
-            and self.dtype != jnp.float32
+            and jax.default_backend() == "tpu"
+            and os.environ.get("IRSDE_DIT_FLASH", "1") != "0"
         ):
-            # Flash attention (pallas), opt-in: avoids materializing the NxN
-            # scores, but measured only ~2% faster end-to-end at the 4096-token
-            # dehazing latent (the scan is not attention-bound there) and the
-            # stock kernel faults at batch 4 on v5e — so the einsum path
-            # below stays the default.
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention,
-            )
+            # Long sequences: custom flash attention (ops/flash_attention.py)
+            # — scores stay in VMEM instead of materializing B*H*N^2 in HBM.
+            # Default at >=2048 tokens; IRSDE_DIT_FLASH=0 opts out.  (The
+            # stock jax.experimental kernel this replaces faulted at batch 4
+            # on v5e and was only ~2% faster.)  Backward recomputes via the
+            # einsum reference, so training still works through this path.
+            from ..ops.flash_attention import flash_mha
 
-            out = flash_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), sm_scale=dh**-0.5,
-            ).transpose(0, 2, 1, 3)
+            out = flash_mha(q, k, v, dh**-0.5)
         elif N < 2048:
             # MXU-native: bf16 operands, f32 accumulation; softmax stays
             # f32.  (All-f32 operands here made the whole net memory-bound

@@ -32,8 +32,17 @@ _USE_PALLAS = os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
 _PALLAS_MIN_BATCH = int(os.environ.get("IRSDE_PALLAS_MIN_BATCH", "4"))
 
 
-def use_pallas(batch: int) -> bool:
-    return _USE_PALLAS and batch >= _PALLAS_MIN_BATCH
+def use_pallas(batch: int, site: Optional[str] = None) -> bool:
+    """Trace-time kernel gate.  ``site`` ("ln", "attn", ...) allows
+    per-call-site overrides via IRSDE_PALLAS_<SITE>=0/1 for measurement
+    (the batch crossover differs per kernel)."""
+    if not _USE_PALLAS:
+        return False
+    if site is not None:
+        v = os.environ.get(f"IRSDE_PALLAS_{site.upper()}")
+        if v is not None:
+            return v == "1"
+    return batch >= _PALLAS_MIN_BATCH
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -90,7 +99,7 @@ class ChannelLayerNorm(nn.Module):
         # Stats are computed in f32 INSIDE the op; feeding the native dtype
         # (and writing it back directly) avoids two full-size f32 round
         # trips per norm — bitwise identical to casting outside.
-        return channel_layernorm(x, g, eps, use_pallas(x.shape[0])).astype(self.dtype)
+        return channel_layernorm(x, g, eps, use_pallas(x.shape[0], "ln")).astype(self.dtype)
 
 
 def conv(
@@ -246,7 +255,7 @@ class LinearAttention(nn.Module):
         # The conv's (B, H, W, 3*h*d) output IS the kernel's packed layout —
         # no transposes, no f32 materialization (softmax runs f32 in-kernel).
         out = linear_attention_packed(
-            qkv.reshape(B, N, 3 * hidden), self.heads, self.dim_head, use_pallas(B)
+            qkv.reshape(B, N, 3 * hidden), self.heads, self.dim_head, use_pallas(B, "attn")
         )
         out = out.reshape(B, H, W, hidden).astype(self.dtype)
 

@@ -122,6 +122,31 @@ def test_packed_linear_attention_matches_composition():
         assert float(jnp.max(jnp.abs(got_pal - ref))) / scale < 1e-4
 
 
+def test_flash_mha_matches_reference_and_grads():
+    """DiT flash attention (ops/flash_attention.py): forward parity with the
+    einsum reference in interpret mode, and usable grads (einsum-recompute
+    custom_vjp)."""
+    from image_restoration_sde_tpu.ops.flash_attention import _ref_mha, flash_mha
+
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, N, H, D = 2, 512, 4, 64
+    q = jax.random.normal(kq, (B, N, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, N, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, N, H, D), jnp.float32)
+    scale = D**-0.5
+
+    ref = _ref_mha(q, k, v, scale)
+    got = jax.jit(lambda a, b, c: flash_mha(a, b, c, scale, True))(q, k, v)
+    sc = float(jnp.max(jnp.abs(ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(got - ref))) / sc < 1e-5
+
+    g_ref = jax.grad(lambda a: jnp.sum(_ref_mha(a, k, v, scale) ** 2))(q)
+    g_got = jax.grad(lambda a: jnp.sum(flash_mha(a, k, v, scale, True) ** 2))(q)
+    gs = float(jnp.max(jnp.abs(g_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(g_got - g_ref))) / gs < 1e-5
+
+
 def test_packed_linear_attention_outlier_head_no_nan():
     """Per-head softmax shift: a head whose q-logits sit ~120 below another
     head's max must still produce finite, correct outputs (a global-max
