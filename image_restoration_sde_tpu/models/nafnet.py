@@ -146,6 +146,8 @@ class ConditionalNAFNet(nn.Module):
             for b in range(count)
         ]
         interp = os.environ.get("IRSDE_NAF_FUSE_INTERPRET", "0") == "1"  # tests
+        from ..ops.naf_stack import batch_chunk
+
         fuse = (
             count >= _FUSE_MIN_BLOCKS
             and not self.is_initializing()
@@ -154,8 +156,9 @@ class ConditionalNAFNet(nn.Module):
             # modules._PALLAS_MIN_BATCH); interpret mode keeps tests running
             and (use_pallas(x.shape[0]) or interp)
             and (jax.default_backend() == "tpu" or interp)
-            # whole activation must stay VMEM-resident (f32 working set)
-            and x.size * 4 <= 2**20
+            # a batch chunk of the activation must fit the kernel's per-chunk
+            # VMEM budget (the kernel grids over (batch_chunks, blocks))
+            and batch_chunk(x.shape) >= 1
             # TLSC local pooling isn't in the fused kernel; global-mean only
             and (sca is None or (sca[0] >= x.shape[1] and sca[1] >= x.shape[2]))
         )

@@ -18,6 +18,7 @@ Inference-oriented (custom VJP backs off to the jnp composition).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict
 
@@ -99,14 +100,16 @@ def _jnp_naf_stack(x, stacked: Dict[str, jnp.ndarray], eps: float):
 
 
 def _kernel(*refs, eps):
-    # refs: x_ref, then one ref per weight (blocked over the leading K axis),
-    # then out_ref
+    # refs: x_ref, then one ref per weight (blocked over the leading K axis,
+    # tmod also over batch), then out_ref.  Grid is (batch_chunks, K) with K
+    # innermost: the activation block stays VMEM-resident across the K steps
+    # of one batch chunk while weights stream through the pipeline.
     x_ref = refs[0]
     out_ref = refs[-1]
     wrefs = refs[1:-1]
-    i = pl.program_id(0)
+    k_step = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(k_step == 0)
     def _():
         out_ref[:] = x_ref[:]
 
@@ -114,23 +117,43 @@ def _kernel(*refs, eps):
     out_ref[:] = _block_math(out_ref[:], w, eps).astype(out_ref.dtype)
 
 
+# Per-chunk VMEM budget for the f32 activation block (the block math peaks
+# at ~6x this in intermediates; 96 MiB vmem_limit leaves ample headroom).
+_CHUNK_VMEM_BYTES = int(os.environ.get("IRSDE_NAF_FUSE_CHUNK_BYTES", str(2**21)))
+
+
+def batch_chunk(x_shape) -> int:
+    """Largest divisor of B whose f32 activation block fits the VMEM budget
+    (0 if even a single sample does not fit)."""
+    B = x_shape[0]
+    per_sample = int(np.prod(x_shape[1:])) * 4
+    if per_sample > _CHUNK_VMEM_BYTES:
+        return 0
+    bc = max(c for c in range(1, B + 1) if B % c == 0 and c * per_sample <= _CHUNK_VMEM_BYTES)
+    return bc
+
+
 def _pallas_naf_stack(x, stacked, eps, interpret=False):
     K = stacked["w1"].shape[0]
-    grid = (K,)
-    x_spec = pl.BlockSpec(x.shape, lambda i: (0,) * x.ndim, memory_space=pltpu.VMEM)
+    B = x.shape[0]
+    bc = batch_chunk(x.shape)
+    assert bc >= 1, "caller must gate on batch_chunk(x.shape) >= 1"
+    grid = (B // bc, K)
+    x_spec = pl.BlockSpec(
+        (bc,) + x.shape[1:], lambda b, k: (b,) + (0,) * (x.ndim - 1), memory_space=pltpu.VMEM
+    )
 
     in_specs = [x_spec]
     ins = [x]
-    for k in _WEIGHT_KEYS:
-        arr = stacked[k]
-        blk = (1,) + arr.shape[1:]
-        in_specs.append(
-            pl.BlockSpec(
-                blk,
-                lambda i, _nd=arr.ndim: (i,) + (0,) * (_nd - 1),
-                memory_space=pltpu.VMEM,
-            )
-        )
+    for name in _WEIGHT_KEYS:
+        arr = stacked[name]
+        if name == "tmod":  # (K, B, 4C): per-block AND per-batch-chunk
+            blk = (1, bc, arr.shape[2])
+            index = lambda b, k: (k, b, 0)
+        else:
+            blk = (1,) + arr.shape[1:]
+            index = lambda b, k, _nd=arr.ndim: (k,) + (0,) * (_nd - 1)
+        in_specs.append(pl.BlockSpec(blk, index, memory_space=pltpu.VMEM))
         ins.append(arr)
 
     return pl.pallas_call(

@@ -84,6 +84,38 @@ def test_naf_stack_kernel_matches_flax_blocks():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-5)
 
 
+def test_naf_stack_batch_chunking_matches_unchunked(monkeypatch):
+    # (batch_chunks, K) grid: force a budget that splits B=4 into 4 chunks
+    # of 1 and check parity with the jnp composition (incl. per-chunk tmod)
+    from image_restoration_sde_tpu.ops import naf_stack as ns
+
+    K, B, H, W, C = 2, 4, 8, 8, 32
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (B, H, W, C)) * 0.2
+    stacked = {}
+    for i, name in enumerate(ns._WEIGHT_KEYS):
+        k2 = jax.random.fold_in(key, i)
+        shapes = {
+            "w1": (K, C, 2 * C), "b1": (K, 1, 2 * C), "wdw": (K, 3, 3, 2 * C),
+            "b2": (K, 1, 2 * C), "wsca": (K, C, C), "bsca": (K, 1, C),
+            "w3": (K, C, C), "b3": (K, 1, C), "w4": (K, C, 2 * C),
+            "b4": (K, 1, 2 * C), "w5": (K, C, C), "b5": (K, 1, C),
+            "g1": (K, 1, C), "g2": (K, 1, C), "beta": (K, 1, C),
+            "gamma": (K, 1, C), "tmod": (K, B, 4 * C),
+        }
+        stacked[name] = jax.random.normal(k2, shapes[name]) * 0.1
+
+    per_sample = H * W * C * 4
+    monkeypatch.setattr(ns, "_CHUNK_VMEM_BYTES", per_sample)  # bc == 1
+    assert ns.batch_chunk(x.shape) == 1
+    got = jax.jit(lambda a, s: ns.naf_stack(a, s, 1e-5, True, True))(x, stacked)
+    want = ns._jnp_naf_stack(x, stacked, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    monkeypatch.setattr(ns, "_CHUNK_VMEM_BYTES", per_sample // 2)  # too small
+    assert ns.batch_chunk(x.shape) == 0
+
+
 def test_streaming_linear_attention_matches_reference():
     from image_restoration_sde_tpu.ops.linear_attention import (
         _pallas_linear_attention_streaming,
