@@ -52,6 +52,17 @@ def main():
 
     state, _ = step_fn(state, lq, gt, key)  # compile
     jax.block_until_ready(state.params)
+
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        from image_restoration_sde_tpu.utils import profiling
+
+        with profiling.trace(trace_dir):
+            for _ in range(3):
+                state, metrics = step_fn(state, lq, gt, key)
+            jax.block_until_ready(metrics["loss"])
+        print(f"# trace: python tools/trace_summary.py {trace_dir}", file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, lq, gt, key)
