@@ -143,13 +143,18 @@ def _pallas_naf_stack(x, stacked, eps, interpret=False):
         (bc,) + x.shape[1:], lambda b, k: (b,) + (0,) * (x.ndim - 1), memory_space=pltpu.VMEM
     )
 
+    nb = B // bc
     in_specs = [x_spec]
     ins = [x]
     for name in _WEIGHT_KEYS:
         arr = stacked[name]
-        if name == "tmod":  # (K, B, 4C): per-block AND per-batch-chunk
+        if name == "tmod":  # (K, B, 4C): per-block AND per-batch-chunk.
+            # Mosaic requires the sublane block dim to divide 8 or equal the
+            # array dim; reshape so each (block, chunk) pair is a full
+            # (bc, 4C) leading slice.
+            arr = arr.reshape(K * nb, bc, arr.shape[2])
             blk = (1, bc, arr.shape[2])
-            index = lambda b, k: (k, b, 0)
+            index = lambda b, k, _nb=nb: (k * _nb + b, 0, 0)
         else:
             blk = (1,) + arr.shape[1:]
             index = lambda b, k, _nd=arr.ndim: (k,) + (0,) * (_nd - 1)
