@@ -290,7 +290,7 @@ def _pallas_packed(qkv, dim_head, *, interpret=False):
     )(qkv, ctx)
 
 
-def _jnp_packed(qkv, heads, dim_head):
+def _jnp_packed_split(qkv, heads, dim_head):
     """Packed-layout reference composition (same math as module_util.py
     LinearAttention): qkv (B, N, 3*h*d) -> out (B, N, h*d)."""
     B, N, _ = qkv.shape
@@ -301,6 +301,45 @@ def _jnp_packed(qkv, heads, dim_head):
     ctx = jnp.einsum("bnhd,bnhe->bhde", ks, v / N)
     out = jnp.einsum("bnhd,bhde->bnhe", qs, ctx)
     return out.reshape(B, N, heads * dim_head).astype(qkv.dtype)
+
+
+def _jnp_packed_lanes(qkv, heads, dim_head):
+    """Same math, lane-packed: all heads stay side by side in the 128-lane
+    channel axis (the conv's natural layout), per-head softmaxes via masked
+    reduces and a block-diagonal mask matmul — no rank-5 reshape, so XLA
+    emits zero relayout copies around it (the reshape path costs ~30% of
+    batch-1 sampler time in transposes).  The cross-head products the full
+    128-wide contractions compute are masked off; the FLOP waste (4x on
+    ~0.5% of the net's FLOPs) is far below the copy cost it removes."""
+    B, N, _ = qkv.shape
+    hid = heads * dim_head
+    x = qkv.astype(jnp.float32)
+    q, k, v = x[:, :, :hid], x[:, :, hid : 2 * hid], x[:, :, 2 * hid :]
+    mask = _head_mask(dim_head)[:hid, :hid]  # (hid, hid) block-diagonal
+
+    # softmax over N per channel (already segment-local)
+    ks = jax.nn.softmax(k, axis=1)
+    # ctx[b, d, e] = sum_n ks[b, n, d] v[b, n, e] / N, cross-head terms zeroed
+    ctx = jnp.einsum("bnd,bne->bde", ks, v / N) * mask
+
+    # per-head softmax over d: masked per-head max, exp, block-diag row sums
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hid), 2) // dim_head
+    m = jnp.zeros_like(q)
+    for h in range(heads):
+        sel = lane_head == h
+        mh = jnp.max(jnp.where(sel, q, -jnp.inf), axis=2, keepdims=True)
+        m = m + jnp.where(sel, mh, 0.0)
+    e = jnp.exp(q - m)
+    seg = jnp.einsum("bnd,de->bne", e, mask)  # each lane: its head's sum
+    qs = e / seg * (dim_head**-0.5)
+    out = jnp.einsum("bnd,bde->bne", qs, ctx)
+    return out.astype(qkv.dtype)
+
+
+def _jnp_packed(qkv, heads, dim_head):
+    if heads * dim_head <= _HID and _HID % dim_head == 0:
+        return _jnp_packed_lanes(qkv, heads, dim_head)
+    return _jnp_packed_split(qkv, heads, dim_head)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
