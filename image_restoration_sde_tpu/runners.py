@@ -245,10 +245,17 @@ class PixelDiffusionTask(_Base):
             vlq, hw = pad_to_bucket(np.asarray(lq), 64)
             out = unpad(self.sampler(state.params, self._globalize(vlq), self._globalize(key)), hw)
             out_img = tensor2img(out[0])
+            # PSNR over all channels — for stereo (6ch) this matches the
+            # reference's validation on the concatenated eyes
+            # (stereo-sr/train.py:282-287); save_img splits eyes into
+            # separate PNGs (cv2 cannot encode 6 channels)
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
             if i < 3 and process_is_primary():
-                save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
+                from .utils.img_utils import split_eyes
+
+                for eye, img in split_eyes(out_img):
+                    save_img(img, os.path.join(out_dir, f"{step}_{i}{eye}.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
 
@@ -327,10 +334,17 @@ class GaussianDenoisingTask(_Base):
             vlq, hw = pad_to_bucket(np.asarray(noisy), 64)
             out = unpad(self.sampler(state.params, self._globalize(vlq)), hw)
             out_img = tensor2img(out[0])
+            # PSNR over all channels — for stereo (6ch) this matches the
+            # reference's validation on the concatenated eyes
+            # (stereo-sr/train.py:282-287); save_img splits eyes into
+            # separate PNGs (cv2 cannot encode 6 channels)
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
             if i < 3 and process_is_primary():
-                save_img(out_img, os.path.join(out_dir, f"{step}_{i}.png"))
+                from .utils.img_utils import split_eyes
+
+                for eye, img in split_eyes(out_img):
+                    save_img(img, os.path.join(out_dir, f"{step}_{i}{eye}.png"))
         return {"psnr": avg_psnr / max(1, n)}
 
 

@@ -13,6 +13,16 @@ from typing import Tuple
 import numpy as np
 
 
+def split_eyes(img: np.ndarray):
+    """Stereo image handling: an HWC array with 6 channels (left|right eyes
+    concatenated, ref stereo-sr test.py:119 ``SR_img.chunk(2)``) splits into
+    ``[("_L", left), ("_R", right)]``; anything else passes through as
+    ``[("", img)]``.  Lets metric/save loops be stereo-agnostic."""
+    if img.ndim == 3 and img.shape[-1] == 6:
+        return [("_L", img[..., :3]), ("_R", img[..., 3:])]
+    return [("", img)]
+
+
 def tensor2img(arr, min_max: Tuple[float, float] = (0.0, 1.0)) -> np.ndarray:
     """NHWC/HWC/HW float array (RGB) -> uint8 HWC (or HW) numpy image."""
     img = np.asarray(arr, dtype=np.float32)

@@ -249,3 +249,82 @@ def test_train_then_test_cli(tmp_path):
     r2 = _run("test.py", opt_path2)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "avg over 4" in (r2.stdout + r2.stderr)
+
+
+def test_stereo_train_validate_then_test(tmp_path):
+    """Stereo SR end to end: SteLQGT data (2i/2i+1 eye pairs), the stereo
+    NAFNet routed from `ConditionalNAFNet` + Ste mode, a validation pass
+    (6-channel outputs must split into _L/_R eyes for saving — regression
+    for the cv2 6-channel imwrite crash), then tools/test.py with per-eye
+    metrics (ref stereo-sr test.py:105-124)."""
+    import glob
+
+    import yaml
+    from PIL import Image
+
+    rs = np.random.RandomState(5)
+    for split in ["train", "val"]:
+        for sub in ["HR", "LR_x4"]:
+            os.makedirs(tmp_path / split / sub, exist_ok=True)
+        for i in range(4):  # 2 pairs
+            hr = (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+            Image.fromarray(hr).save(tmp_path / split / "HR" / f"{i:04d}.png")
+            lr = np.asarray(Image.fromarray(hr).resize((8, 8)))
+            Image.fromarray(lr).save(tmp_path / split / "LR_x4" / f"{i:04d}.png")
+
+    common = {
+        "sde": {"max_sigma": 50, "T": 4, "schedule": "cosine", "eps": 0.005},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "network_G": {"which_model_G": "ConditionalNAFNet",
+                      "setting": {"width": 8, "enc_blk_nums": [1, 1],
+                                  "middle_blk_num": 1, "dec_blk_nums": [1, 1]}},
+    }
+    train_cfg = {
+        "name": "ssr", "use_tb_logger": False, "model": "denoising",
+        "distortion": "sr", "gpu_ids": [0], **common,
+        "datasets": {
+            "train": {"name": "t", "mode": "SteLQGT",
+                      "dataroot_GT": str(tmp_path / "train" / "HR"),
+                      "dataroot_LQ": str(tmp_path / "train" / "LR_x4"),
+                      "n_workers": 1, "batch_size": 2, "GT_size": 32,
+                      "LR_size": 8, "scale": 4, "use_flip": True,
+                      "use_rot": True, "dataset_enlarge_ratio": 4},
+            "val": {"name": "v", "mode": "SteLQGT",
+                    "dataroot_GT": str(tmp_path / "val" / "HR"),
+                    "dataroot_LQ": str(tmp_path / "val" / "LR_x4"),
+                    "scale": 4, "max_images": 1},
+        },
+        "path": {"root": str(tmp_path / "run")},
+        "train": {"optimizer": "Adam", "lr_G": 1e-4, "lr_scheme": "MultiStepLR",
+                  "beta1": 0.9, "beta2": 0.99, "niter": 2, "warmup_iter": -1,
+                  "lr_steps": [], "is_weighted": False, "loss_type": "l1",
+                  "weight": 1.0, "manual_seed": 1, "val_freq": 2},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+    }
+    opt_path = tmp_path / "ssr_train.yml"
+    yaml.safe_dump(train_cfg, open(opt_path, "w"))
+    r = _run("train.py", opt_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    # validation ran and saved split eyes
+    val_imgs = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "ssr" / "val_images" / "*_L.png"))
+    assert val_imgs, r.stderr[-2000:]
+
+    hits = glob.glob(str(tmp_path / "run" / "experiments" / "*" / "ssr" / "models" / "2_G"))
+    assert hits
+    test_cfg = {
+        "name": "ssr-test", "model": "denoising", "distortion": "sr",
+        "gpu_ids": [0], "seed": 0, **common,
+        "datasets": {"test1": {"name": "vset", "mode": "SteLQGT",
+                               "dataroot_GT": str(tmp_path / "val" / "HR"),
+                               "dataroot_LQ": str(tmp_path / "val" / "LR_x4"),
+                               "scale": 4}},
+        "path": {"pretrain_model_G": hits[0], "root": str(tmp_path / "run")},
+    }
+    opt_path2 = tmp_path / "ssr_test.yml"
+    yaml.safe_dump(test_cfg, open(opt_path2, "w"))
+    r2 = _run("test.py", opt_path2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out = r2.stdout + r2.stderr
+    assert "avg over 2" in out, out[-1500:]
+    eyes = glob.glob(str(tmp_path / "run" / "results" / "*" / "ssr-test" / "vset" / "*_L.png"))
+    assert eyes, out[-1500:]

@@ -36,7 +36,7 @@ from image_restoration_sde_tpu.data.io_utils import save_img
 from image_restoration_sde_tpu.data.transforms import rgb2ycbcr
 from image_restoration_sde_tpu.parallel import make_mesh, process_is_primary
 from image_restoration_sde_tpu.runners import build_task
-from image_restoration_sde_tpu.utils import metrics, options, tensor2img
+from image_restoration_sde_tpu.utils import metrics, options, split_eyes, tensor2img
 from image_restoration_sde_tpu.utils.logging_utils import mkdirs, setup_logger
 
 
@@ -127,25 +127,37 @@ def main():
 
             out_img = tensor2img(out[0])
             if rank0:
-                save_img(out_img, os.path.join(out_dir, f"{base}.png"))
-                save_img(tensor2img(lq_used[0]), os.path.join(out_dir, f"{base}_LQ.png"))
+                # stereo (6ch) outputs save as separate _L/_R eyes
+                # (ref stereo-sr test.py:119 SR_img.chunk(2))
+                for eye, img in split_eyes(out_img):
+                    save_img(img, os.path.join(out_dir, f"{base}{eye}.png"))
+                for eye, img in split_eyes(tensor2img(lq_used[0])):
+                    save_img(img, os.path.join(out_dir, f"{base}_LQ{eye}.png"))
 
             if has_gt:
                 gt_img = tensor2img(batch["GT"][0])
                 if rank0:
-                    save_img(gt_img, os.path.join(out_dir, f"{base}_GT.png"))
+                    for eye, img in split_eyes(gt_img):
+                        save_img(img, os.path.join(out_dir, f"{base}_GT{eye}.png"))
                 # ref test.py: crop_border defaults to the sr scale
                 crop = int(opt["crop_border"] or (opt["degradation"]["scale"] if opt["distortion"] == "sr" else 0) or 0)
-                o, g = out_img, gt_img
+                o6, g6 = out_img, gt_img
                 if crop:
-                    o, g = o[crop:-crop, crop:-crop], g[crop:-crop, crop:-crop]
-                psnr = metrics.calculate_psnr(o, g)
-                ssim = metrics.calculate_ssim(o, g)
-                oy = rgb2ycbcr(o.astype(np.float64) / 255.0, only_y=True) * 255
-                gy = rgb2ycbcr(g.astype(np.float64) / 255.0, only_y=True) * 255
-                psnr_y = metrics.calculate_psnr(oy, gy)
-                ssim_y = metrics.calculate_ssim(oy, gy)
-                lp = lpips_fn(o, g) if lpips_fn else None
+                    o6, g6 = o6[crop:-crop, crop:-crop], g6[crop:-crop, crop:-crop]
+                # per-eye metrics averaged for stereo (ref stereo test.py
+                # scores L and R separately); single pass otherwise
+                eyes = list(zip(split_eyes(o6), split_eyes(g6)))
+                psnr = ssim = psnr_y = ssim_y = 0.0
+                lp = 0.0 if lpips_fn else None
+                for (_, o), (_, g) in eyes:
+                    psnr += metrics.calculate_psnr(o, g) / len(eyes)
+                    ssim += metrics.calculate_ssim(o, g) / len(eyes)
+                    oy = rgb2ycbcr(o.astype(np.float64) / 255.0, only_y=True) * 255
+                    gy = rgb2ycbcr(g.astype(np.float64) / 255.0, only_y=True) * 255
+                    psnr_y += metrics.calculate_psnr(oy, gy) / len(eyes)
+                    ssim_y += metrics.calculate_ssim(oy, gy) / len(eyes)
+                    if lpips_fn:
+                        lp += lpips_fn(o, g) / len(eyes)
                 sums["psnr"] += psnr
                 sums["ssim"] += ssim
                 sums["psnr_y"] += psnr_y
