@@ -148,13 +148,12 @@ def make_latent_sampler(
     ``model_apply`` each step.  ``cast_params``: see
     ``sampling.cast_f32_leaves`` (applies to the score net, which is read
     every step; the one-shot compressor stays f32)."""
-    from ..sampling import cast_f32_leaves
+    from functools import partial
+
+    from ..sampling import _sample_chunk, cast_f32_leaves
     from ..sde import samplers
 
-    @jax.jit
-    def sample(params, lq, key, cond=None):
-        if cast_params is not None:
-            params = cast_f32_leaves(params, cast_params)
+    def sample_one(params, lq, key, cond):
         latent_lq, hidden = encode_fn(latent_params, lq)
         k_init, k_chain = jax.random.split(key)
         noisy = sde.noise_state(k_init, latent_lq)
@@ -172,5 +171,36 @@ def make_latent_sampler(
             latent = samplers.reverse_ode(sde, noise_fn, noisy, latent_lq, steps=steps)
         H, W = lq.shape[1], lq.shape[2]
         return decode_fn(latent_params, latent, hidden)[:, :H, :W, :]
+
+    @partial(jax.jit, static_argnames="c")
+    def _sample(params, lq, key, cond, c):
+        if cast_params is not None:
+            params = cast_f32_leaves(params, cast_params)
+        B = lq.shape[0]
+        if c == B:
+            return sample_one(params, lq, key, cond)
+        # Chunked full-pipeline sampling: at 1024px the compressor's skip
+        # pyramid for the WHOLE batch is what blows HBM (batch 16 OOMs,
+        # BENCH.md) — lax.map over chunks materializes encode/scan/decode
+        # state for one chunk at a time, so any batch runs at the chunk
+        # operating point.
+        reshard = lambda a: a.reshape(B // c, c, *a.shape[1:])
+        lqs = reshard(lq)
+        keys = jax.random.split(key, B // c)
+        conds = None if cond is None else jax.tree_util.tree_map(reshard, cond)
+        out = jax.lax.map(
+            lambda a: sample_one(params, a[0], a[1], a[2]), (lqs, keys, conds)
+        )
+        return out.reshape(B, *out.shape[2:])
+
+    def sample(params, lq, key, cond=None):
+        B = lq.shape[0]
+        sharded = (
+            isinstance(lq, jax.Array)
+            and hasattr(lq, "sharding")
+            and len(getattr(lq.sharding, "device_set", ())) > 1
+        )
+        c = B if sharded else _sample_chunk(B, None)
+        return _sample(params, lq, key, cond, c=c)
 
     return sample
