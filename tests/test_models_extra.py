@@ -175,3 +175,84 @@ def test_latent_diffusion_step_and_sampler(compressor):
     sample = make_latent_sampler(sde, score.apply, encode_fn, decode_fn, lat_params, mode="sde")
     out = sample(state.params, lq, key)
     assert out.shape == lq.shape and bool(jnp.isfinite(out).all())
+
+
+def test_sample_chunk_divisor_fallback():
+    from image_restoration_sde_tpu.sampling import _sample_chunk
+
+    assert _sample_chunk(16, 8) == 8
+    assert _sample_chunk(12, 8) == 6  # nearest divisor >= want//2
+    assert _sample_chunk(11, 8) == 11  # coprime: never serialize to ~1
+    assert _sample_chunk(4, 8) == 4
+    assert _sample_chunk(16, 0) == 16  # chunk <= 0 disables chunking
+
+
+def test_latent_sampler_chunked_path(compressor, monkeypatch):
+    """B=4 with chunk 2 runs the lax.map branch: traced at the chunk size,
+    deterministic, and each chunk's output independent of the others'
+    inputs (catches lq/cond reshape misalignment)."""
+    monkeypatch.setenv("IRSDE_SAMPLE_CHUNK", "2")
+    net, lat_params = compressor
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+    traced_batches = []
+
+    def encode_fn(p, x):
+        traced_batches.append(x.shape[0])
+        return net.apply(p, x, method=net.encode)
+
+    def decode_fn(p, l, h):
+        return net.apply(p, l, h, method=net.decode)
+
+    def apply_fn(params, xt, mu, tvec, cond):
+        # analytic score net that *uses* cond, so chunk alignment is visible
+        return mu - xt + 0.1 * cond[:, None, None, :]
+
+    sample = make_latent_sampler(
+        sde, apply_fn, encode_fn, decode_fn, lat_params, mode="sde"
+    )
+    key = jax.random.PRNGKey(0)
+    lq = jax.random.uniform(key, (4, 16, 16, 3))
+    cond = jnp.arange(16, dtype=jnp.float32).reshape(4, 4)
+    out = sample({}, lq, key, cond)
+    assert out.shape == lq.shape and bool(jnp.isfinite(out).all())
+    assert traced_batches == [2]  # chunked: one trace at the chunk size
+    assert bool((sample({}, lq, key, cond) == out).all())  # deterministic
+    # mutate chunk 1 only: chunk 0's output must be bitwise unchanged
+    lq2 = lq.at[2:].set(jax.random.uniform(jax.random.PRNGKey(9), (2, 16, 16, 3)))
+    cond2 = cond.at[2:].add(5.0)
+    out2 = sample({}, lq2, key, cond2)
+    assert bool((out2[:2] == out[:2]).all())
+    assert not bool((out2[2:] == out[2:]).all())
+
+
+def test_latent_sampler_sharded_input_not_chunked(compressor, monkeypatch):
+    """Data-parallel sampling must not be lax.map-serialized: a sharded
+    batch bypasses chunking (traced at the full global batch)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("IRSDE_SAMPLE_CHUNK", "2")
+    net, lat_params = compressor
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+    traced_batches = []
+
+    def encode_fn(p, x):
+        traced_batches.append(x.shape[0])
+        return net.apply(p, x, method=net.encode)
+
+    def decode_fn(p, l, h):
+        return net.apply(p, l, h, method=net.decode)
+
+    def apply_fn(params, xt, mu, tvec):
+        return mu - xt
+
+    sample = make_latent_sampler(
+        sde, apply_fn, encode_fn, decode_fn, lat_params, mode="sde"
+    )
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    lq = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3)),
+        NamedSharding(mesh, P("data")),
+    )
+    out = sample({}, lq, jax.random.PRNGKey(1))
+    assert out.shape == lq.shape and bool(jnp.isfinite(out).all())
+    assert traced_batches == [8]  # no chunking on sharded inputs
