@@ -58,9 +58,11 @@ def main():
 
     key = jax.random.PRNGKey(0)
     lq = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
-    lat_params = jax.jit(compressor.init)(key, lq)
-    lat_dummy = jnp.zeros((batch, size // 8, size // 8, 8), jnp.float32)
-    params = jax.jit(score.init)(key, lat_dummy, lat_dummy, jnp.zeros((batch,)))
+    # init at batch 1: params are batch-independent, and a whole-batch init
+    # forward at 1024px would OOM before the (chunked) sampler ever runs
+    lat_params = jax.jit(compressor.init)(key, lq[:1])
+    lat_dummy = jnp.zeros((1, size // 8, size // 8, 8), jnp.float32)
+    params = jax.jit(score.init)(key, lat_dummy, lat_dummy, jnp.zeros((1,)))
 
     def encode_fn(p, x):
         return compressor.apply(p, x, method=compressor.encode)
