@@ -1,0 +1,211 @@
+"""AOT model export — serialized, versioned serving artifacts via jax.export.
+
+The reference serves models from a live python+torch process (the gradio
+``app.py`` and per-image ``test.py`` loops dispatch the score net 100x from
+python per image).  The TPU-native deployment story is ahead-of-time export:
+``jax.export`` serializes the *whole* jitted 100-step restoration program
+(compressor/score net/scan/decode) to versioned StableHLO that
+
+- loads and runs WITHOUT the model code or config system (one ``call``),
+- pins the exact math of the build that produced it (schedule tables and
+  weights are baked in as constants),
+- lowers for several platforms in one artifact (``platforms=("cpu","tpu")``
+  — exported on any host, served on TPU),
+- supports a *symbolic batch dim*, so one artifact serves any request batch.
+
+Artifact layout (single file): ``IRSDEX1\\n`` magic, 8-byte big-endian JSON
+header length, UTF-8 JSON header (shapes, dtypes, platforms, build metadata),
+then the ``jax.export`` payload.  The header is readable without jax.
+
+Exported functions take ``(lq, seed)`` — image batch NHWC f32 in [0,1] and a
+uint32 scalar seed (the PRNG key is derived inside the program; raw key
+arrays are not a stable serving interface).  Kernel gates are forced off for
+the export trace (``models.modules.no_pallas``): custom-calls don't lower
+cross-platform, and a symbolic batch can't answer the batch>=N gate.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.modules import no_pallas
+from .sampling import make_restoration_sampler
+from .sde import IRSDE
+
+MAGIC = b"IRSDEX1\n"
+
+
+# ----------------------------------------------------------- artifact file
+def pack_artifact(header: dict, payload: bytes) -> bytes:
+    head = json.dumps(header, sort_keys=True).encode("utf-8")
+    return MAGIC + struct.pack(">Q", len(head)) + head + payload
+
+
+def unpack_artifact(data: bytes) -> Tuple[dict, bytes]:
+    if data[: len(MAGIC)] != MAGIC:
+        raise ValueError("not an IRSDE export artifact (bad magic)")
+    off = len(MAGIC)
+    (hlen,) = struct.unpack(">Q", data[off : off + 8])
+    off += 8
+    header = json.loads(data[off : off + hlen].decode("utf-8"))
+    return header, data[off + hlen :]
+
+
+def read_header(path: str) -> dict:
+    """Header only — no jax deserialization (cheap artifact inspection)."""
+    with open(path, "rb") as f:
+        data = f.read(1 << 20)
+    return unpack_artifact(data)[0]
+
+
+# ------------------------------------------------------------------ export
+def export_fn(
+    fn: Callable,
+    arg_specs: Sequence[Any],
+    *,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    meta: Optional[dict] = None,
+) -> bytes:
+    """Export an arbitrary jittable ``fn`` at ``arg_specs``
+    (ShapeDtypeStructs, symbolic dims allowed) into a packed artifact."""
+    from jax import export as jexport
+
+    with no_pallas():
+        exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*arg_specs)
+    header = {
+        "format": "jax.export",
+        "platforms": list(platforms),
+        "in_avals": [str(a) for a in exp.in_avals],
+        "out_avals": [str(a) for a in exp.out_avals],
+        "jax_version": jax.__version__,
+        **(meta or {}),
+    }
+    return pack_artifact(header, exp.serialize())
+
+
+def export_restoration_sampler(
+    sde: IRSDE,
+    apply_fn: Callable,  # (params, xt, cond, tvec) -> noise
+    params: Any,
+    size: Tuple[int, int],
+    *,
+    mode: str = "posterior",
+    steps: Optional[int] = None,
+    channels: int = 3,
+    batch: Optional[int] = None,  # None => symbolic batch dim
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    cast_params=None,
+    meta: Optional[dict] = None,
+) -> bytes:
+    """Bake ``params`` into a self-contained restoration-serving artifact.
+
+    The exported program is ``restored = call(lq, seed)`` over the full
+    reverse chain (ref test-time flow: config/deraining/test.py:70-120 +
+    sde_utils.py reverse loop — here one compiled program).  ``batch=None``
+    exports a symbolic batch dim; chunking is disabled (the serving host
+    picks its own operating-point batch per request).
+    """
+    from jax import export as jexport
+
+    sampler = make_restoration_sampler(
+        sde, apply_fn, mode=mode, steps=steps, chunk=0, cast_params=cast_params
+    )
+
+    def serve(lq, seed):
+        return sampler(params, lq, jax.random.PRNGKey(seed))
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    H, W = size
+    specs = (
+        jax.ShapeDtypeStruct((b, H, W, channels), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.uint32),
+    )
+    info = {
+        "kind": "restoration_sampler",
+        "mode": mode,
+        "steps": int(steps if steps is not None else sde.T),
+        "size": [H, W],
+        "channels": channels,
+        "batch": "symbolic" if batch is None else int(batch),
+        "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
+        **(meta or {}),
+    }
+    return export_fn(serve, specs, platforms=platforms, meta=info)
+
+
+def export_latent_sampler(
+    sde: IRSDE,
+    model_apply: Callable,
+    encode_fn: Callable,
+    decode_fn: Callable,
+    latent_params: Any,
+    params: Any,
+    size: Tuple[int, int],
+    *,
+    mode: str = "sde",
+    steps: Optional[int] = None,
+    batch: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    cast_params=None,
+    meta: Optional[dict] = None,
+) -> bytes:
+    """Refusion artifact: compressor encode -> latent reverse SDE -> decode,
+    one program with both networks' weights baked in (ref latent-dehazing
+    test flow, latent_denoising_model.py test())."""
+    from jax import export as jexport
+
+    from .training.latent import make_latent_sampler
+
+    sampler = make_latent_sampler(
+        sde, model_apply, encode_fn, decode_fn, latent_params,
+        mode=mode, steps=steps, cast_params=cast_params, chunk=0,
+    )
+
+    def serve(lq, seed):
+        return sampler(params, lq, jax.random.PRNGKey(seed))
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    H, W = size
+    specs = (
+        jax.ShapeDtypeStruct((b, H, W, 3), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.uint32),
+    )
+    info = {
+        "kind": "latent_sampler",
+        "mode": mode,
+        "steps": int(steps if steps is not None else sde.T),
+        "size": [H, W],
+        "batch": "symbolic" if batch is None else int(batch),
+        "n_params": int(
+            sum(p.size for p in jax.tree.leaves((params, latent_params)))
+        ),
+        **(meta or {}),
+    }
+    return export_fn(serve, specs, platforms=platforms, meta=info)
+
+
+# -------------------------------------------------------------------- load
+def load_artifact(data_or_path) -> Tuple[Callable, dict]:
+    """Returns ``(call, header)``.  ``call(lq, seed)`` runs the exported
+    program on the current default platform (must be in header["platforms"])."""
+    from jax import export as jexport
+
+    if isinstance(data_or_path, (bytes, bytearray)):
+        data = bytes(data_or_path)
+    else:
+        with open(data_or_path, "rb") as f:
+            data = f.read()
+    header, payload = unpack_artifact(data)
+    exp = jexport.deserialize(payload)
+    return exp.call, header

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import check_image_size
+from .modules import check_image_size, pallas_forced_off
 
 
 def glide_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
@@ -57,6 +57,7 @@ class MHA(nn.Module):
             and N % 128 == 0
             and jax.default_backend() == "tpu"
             and os.environ.get("IRSDE_DIT_FLASH", "1") != "0"
+            and not pallas_forced_off()
         ):
             # Long sequences: custom flash attention (ops/flash_attention.py)
             # — scores stay in VMEM instead of materializing B*H*N^2 in HBM.

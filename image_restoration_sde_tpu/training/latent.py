@@ -141,6 +141,7 @@ def make_latent_sampler(
     mode: str = "sde",
     steps: Optional[int] = None,
     cast_params=None,
+    chunk: Optional[int] = None,  # 0 disables chunking (see sampling._sample_chunk)
 ):
     """jitted ``sample(params, lq, key[, cond]) -> restored image``: encode
     LQ, noise the latent, reverse-diffuse, decode with the LQ skips.  The
@@ -200,7 +201,7 @@ def make_latent_sampler(
             and hasattr(lq, "sharding")
             and len(getattr(lq.sharding, "device_set", ())) > 1
         )
-        c = B if sharded else _sample_chunk(B, None)
+        c = B if sharded else _sample_chunk(B, chunk)
         return _sample(params, lq, key, cond, c=c)
 
     return sample

@@ -1,0 +1,151 @@
+"""AOT export (jax.export serving artifacts): artifact format round-trip,
+pixel + latent sampler export with symbolic batch and cpu+tpu lowering,
+tight numeric agreement with the live sampler, and the CLI tool
+end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_sde_tpu import exporting
+from image_restoration_sde_tpu.models import ConditionalUNet
+from image_restoration_sde_tpu.models.latent_unet import UNet
+from image_restoration_sde_tpu.models.modules import no_pallas, use_pallas
+from image_restoration_sde_tpu.models.nafnet import ConditionalNAFNet
+from image_restoration_sde_tpu.sampling import make_restoration_sampler
+from image_restoration_sde_tpu.sde import IRSDE
+from image_restoration_sde_tpu.training.latent import make_latent_sampler
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_artifact_pack_roundtrip():
+    header = {"kind": "x", "steps": 4}
+    data = exporting.pack_artifact(header, b"payload-bytes")
+    h2, p2 = exporting.unpack_artifact(data)
+    assert h2 == header and p2 == b"payload-bytes"
+    with pytest.raises(ValueError):
+        exporting.unpack_artifact(b"NOTMAGIC" + data)
+
+
+def test_no_pallas_context_forces_gates_off(monkeypatch):
+    monkeypatch.setenv("IRSDE_PALLAS_LN", "1")  # site override says ON
+    assert use_pallas(8, "ln")
+    with no_pallas():
+        assert not use_pallas(8, "ln")  # kill-switch wins over overrides
+        with no_pallas():
+            pass
+        assert not use_pallas(8)  # nesting restores correctly
+    assert use_pallas(8, "ln")
+
+
+def test_export_pixel_sampler_symbolic_batch(tmp_path):
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=4, schedule="cosine", eps=0.005)
+
+    data = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior",
+        platforms=("cpu", "tpu"), meta={"config": "unit"},
+    )
+    path = tmp_path / "m.irsdex"
+    path.write_bytes(data)
+
+    header = exporting.read_header(str(path))
+    assert header["kind"] == "restoration_sampler"
+    assert header["platforms"] == ["cpu", "tpu"]
+    assert header["batch"] == "symbolic"
+    assert header["config"] == "unit"
+
+    call, _ = exporting.load_artifact(str(path))
+    live = make_restoration_sampler(sde, net.apply, mode="posterior", chunk=0)
+    for b in (1, 3):
+        lq = jax.random.uniform(jax.random.PRNGKey(b), (b, 16, 16, 3))
+        got = call(lq, jnp.uint32(7))
+        with no_pallas():
+            want = live(params, lq, jax.random.PRNGKey(jnp.uint32(7)))
+        assert got.shape == (b, 16, 16, 3)
+        # separate XLA compilations fuse differently — tight, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_export_latent_sampler(tmp_path):
+    comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(1, 2), embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 16, 16, 3))
+    lat_params = jax.jit(comp.init)(key, img)
+    encode_fn = lambda p, x: comp.apply(p, x, method=comp.encode)
+    decode_fn = lambda p, l, h: comp.apply(p, l, h, method=comp.decode)
+    lat, _ = encode_fn(lat_params, img)
+    score = ConditionalNAFNet(img_channel=4, width=8, middle_blk_num=1,
+                              enc_blk_nums=(1,), dec_blk_nums=(1,))
+    sp = jax.jit(score.init)(key, lat, lat, jnp.zeros((1,)))
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+
+    data = exporting.export_latent_sampler(
+        sde, score.apply, encode_fn, decode_fn, lat_params, sp, (16, 16),
+        mode="sde", platforms=("cpu",),
+    )
+    call, header = exporting.load_artifact(data)
+    assert header["kind"] == "latent_sampler"
+    live = make_latent_sampler(sde, score.apply, encode_fn, decode_fn,
+                               lat_params, mode="sde", chunk=0)
+    lq = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    got = call(lq, jnp.uint32(5))
+    with no_pallas():
+        want = live(sp, lq, jax.random.PRNGKey(jnp.uint32(5)))
+    assert got.shape == lq.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_export_cli(tmp_path):
+    import yaml
+
+    cfg = {
+        "name": "exp-unit", "model": "denoising", "distortion": "derain",
+        "gpu_ids": [0],
+        "sde": {"max_sigma": 10, "T": 4, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "posterior"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "datasets": {},
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+        "path": {"root": str(tmp_path / "run")},
+    }
+    opt_path = tmp_path / "exp.yml"
+    yaml.safe_dump(cfg, open(opt_path, "w"))
+    out = tmp_path / "m.irsdex"
+
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         f"-opt={opt_path}", "--out", str(out), "--size", "16", "--check"],
+        capture_output=True, text=True, timeout=480, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "check OK" in r.stdout
+    assert out.exists()
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "--inspect", str(out)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    header = json.loads(r2.stdout)
+    assert header["kind"] == "restoration_sampler"
+    assert header["config"] == "exp-unit"

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Export a trained model to a self-contained AOT serving artifact.
+
+TPU-native replacement for the reference's live-process serving (gradio
+``app.py`` / per-image ``test.py`` loops): one file holding the full jitted
+restoration program (StableHLO via ``jax.export``) with weights and schedule
+tables baked in — loads and runs without the model code or config system,
+lowers for cpu+tpu in one artifact, and (by default) takes a symbolic batch
+dim so one artifact serves any request batch.
+
+    python tools/export_model.py -opt=configs/deraining/test/ir-sde.yml \
+        --out derain.irsdex --size 128 [--batch 8] [--platforms cpu,tpu] \
+        [--bf16] [--check]
+
+    # inspect / serve
+    python tools/export_model.py --inspect derain.irsdex
+    python - <<'PY'
+    from image_restoration_sde_tpu.exporting import load_artifact
+    call, header = load_artifact("derain.irsdex")
+    restored = call(lq_batch, seed)   # NHWC f32 [0,1], uint32 seed
+    PY
+
+Uses the same params ``tools/test.py`` evaluates (``path.pretrain_model_G``
+— point it at the EMA checkpoint for reference-parity outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+if os.environ.get("IRSDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
+import jax.numpy as jnp
+import numpy as np
+
+from image_restoration_sde_tpu import exporting
+from image_restoration_sde_tpu.parallel import make_mesh
+from image_restoration_sde_tpu.runners import (
+    BokehLatentDiffusionTask,
+    LatentDiffusionTask,
+    PixelDiffusionTask,
+    build_task,
+)
+from image_restoration_sde_tpu.utils import options
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, help="train/test YAML of the model")
+    parser.add_argument("--out", type=str, help="artifact output path")
+    parser.add_argument("--inspect", type=str, help="print an artifact's header and exit")
+    parser.add_argument("--size", type=int, default=128, help="H=W the program is traced at")
+    parser.add_argument("--batch", type=int, default=0, help="0 = symbolic batch dim")
+    parser.add_argument("--platforms", type=str, default="cpu,tpu")
+    parser.add_argument("--steps", type=int, default=0, help="override sample_T")
+    parser.add_argument("--bf16", action="store_true", help="bake bf16-cast score params")
+    parser.add_argument("--check", action="store_true",
+                        help="reload the artifact and verify against the live sampler")
+    args = parser.parse_args()
+
+    if args.inspect:
+        print(json.dumps(exporting.read_header(args.inspect), indent=2, sort_keys=True))
+        return
+
+    if not args.opt or not args.out:
+        parser.error("-opt and --out are required (or use --inspect)")
+
+    opt = options.dict_to_nonedict(options.parse(args.opt, is_train=False))
+    mesh = make_mesh()
+    task = build_task(opt, mesh, seed=0, base_key=jax.random.PRNGKey(0))
+    task.maybe_load_pretrained(resume=False)
+
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    batch = args.batch or None
+    steps = args.steps or (int(opt["sde"]["sample_T"]) if opt["sde"]["sample_T"] else None)
+    cast = jnp.bfloat16 if args.bf16 else None
+    meta = {"config": opt["name"], "model_type": opt["model"]}
+    size = (args.size, args.size)
+    params = task.state.params
+
+    if isinstance(task, BokehLatentDiffusionTask):
+        raise SystemExit(
+            "bokeh latent models take a per-request lens tuple; the (lq, seed) "
+            "serving interface doesn't carry it — export not supported"
+        )
+    if isinstance(task, LatentDiffusionTask):
+        data = exporting.export_latent_sampler(
+            task.sde, task.net.apply, task.encode_fn, task.decode_fn,
+            task.latent_params, params, size,
+            mode=task._mode, steps=steps, batch=batch, platforms=platforms,
+            cast_params=cast, meta=meta,
+        )
+    elif isinstance(task, PixelDiffusionTask):
+        mode = opt["sde"]["sampling_mode"] or "sde"
+        in_nc = 6 if getattr(task, "stereo", False) else 3
+        data = exporting.export_restoration_sampler(
+            task.sde, task.net.apply, params, size,
+            mode=mode, steps=steps, channels=in_nc, batch=batch,
+            platforms=platforms, cast_params=cast, meta=meta,
+        )
+    else:
+        raise SystemExit(
+            f"export not supported for task {type(task).__name__} "
+            "(pixel and latent diffusion models only)"
+        )
+
+    with open(args.out, "wb") as f:
+        f.write(data)
+    header = exporting.read_header(args.out)
+    print(f"wrote {args.out} ({len(data)/1e6:.1f} MB)")
+    print(json.dumps(header, indent=2, sort_keys=True))
+
+    if args.check:
+        call, _ = exporting.load_artifact(args.out)
+        b = args.batch or 1
+        lq = jax.random.uniform(
+            jax.random.PRNGKey(0), (b, args.size, args.size,
+                                    header.get("channels", 3)), jnp.float32
+        )
+        out = np.asarray(call(lq, jnp.uint32(0)))
+        assert out.shape[:1] == (b,) and np.isfinite(out).all(), "artifact check failed"
+        print(f"check OK: {out.shape}, mean {out.mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
