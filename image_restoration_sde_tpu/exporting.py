@@ -22,6 +22,9 @@ uint32 scalar seed (the PRNG key is derived inside the program; raw key
 arrays are not a stable serving interface).  Kernel gates are forced off for
 the export trace (``models.modules.no_pallas``): custom-calls don't lower
 cross-platform, and a symbolic batch can't answer the batch>=N gate.
+TPU-only artifacts at a concrete batch can keep them (``kernels=True`` —
+Mosaic ``tpu_custom_call`` is jax.export-stable), preserving the measured
++41% batch-8 kernel win in the served program.
 """
 
 from __future__ import annotations
@@ -69,17 +72,32 @@ def export_fn(
     arg_specs: Sequence[Any],
     *,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    kernels: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Export an arbitrary jittable ``fn`` at ``arg_specs``
-    (ShapeDtypeStructs, symbolic dims allowed) into a packed artifact."""
+    (ShapeDtypeStructs, symbolic dims allowed) into a packed artifact.
+
+    ``kernels=True`` keeps the pallas kernels in the artifact (Mosaic
+    ``tpu_custom_call`` is on jax.export's guaranteed-stable list, and
+    Mosaic lowering runs fine from a CPU-only exporting host — the gates'
+    backend checks are overridden by ``kernel_gate.force_pallas``).
+    Requires a TPU-only platform list and concrete (non-symbolic) arg
+    shapes — the batch>=N kernel gates must be answerable at trace time."""
     from jax import export as jexport
 
-    with no_pallas():
+    from .kernel_gate import force_pallas
+
+    if kernels and tuple(platforms) != ("tpu",):
+        raise ValueError("kernels=True requires platforms=('tpu',) — "
+                         "custom-calls don't lower cross-platform")
+    ctx = force_pallas() if kernels else no_pallas()
+    with ctx:
         exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*arg_specs)
     header = {
         "format": "jax.export",
         "platforms": list(platforms),
+        "kernels": bool(kernels),
         "in_avals": [str(a) for a in exp.in_avals],
         "out_avals": [str(a) for a in exp.out_avals],
         "jax_version": jax.__version__,
@@ -99,6 +117,7 @@ def export_restoration_sampler(
     channels: int = 3,
     batch: Optional[int] = None,  # None => symbolic batch dim
     platforms: Sequence[str] = ("cpu", "tpu"),
+    kernels: bool = False,
     cast_params=None,
     meta: Optional[dict] = None,
 ) -> bytes:
@@ -120,6 +139,9 @@ def export_restoration_sampler(
         return sampler(params, lq, jax.random.PRNGKey(seed))
 
     if batch is None:
+        if kernels:
+            raise ValueError("kernels=True needs a concrete batch "
+                             "(the batch>=N gates can't answer a symbolic dim)")
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch)
@@ -138,7 +160,7 @@ def export_restoration_sampler(
         "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
         **(meta or {}),
     }
-    return export_fn(serve, specs, platforms=platforms, meta=info)
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
 
 
 def export_latent_sampler(
@@ -154,6 +176,7 @@ def export_latent_sampler(
     steps: Optional[int] = None,
     batch: Optional[int] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    kernels: bool = False,
     cast_params=None,
     meta: Optional[dict] = None,
 ) -> bytes:
@@ -173,6 +196,9 @@ def export_latent_sampler(
         return sampler(params, lq, jax.random.PRNGKey(seed))
 
     if batch is None:
+        if kernels:
+            raise ValueError("kernels=True needs a concrete batch "
+                             "(the batch>=N gates can't answer a symbolic dim)")
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch)
@@ -192,7 +218,7 @@ def export_latent_sampler(
         ),
         **(meta or {}),
     }
-    return export_fn(serve, specs, platforms=platforms, meta=info)
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
 
 
 # -------------------------------------------------------------------- load

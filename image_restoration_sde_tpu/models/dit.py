@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..kernel_gate import target_is_tpu
 from .modules import check_image_size, pallas_forced_off
 
 
@@ -55,7 +56,7 @@ class MHA(nn.Module):
         if (
             N >= 2048
             and N % 128 == 0
-            and jax.default_backend() == "tpu"
+            and target_is_tpu()
             and os.environ.get("IRSDE_DIT_FLASH", "1") != "0"
             and not pallas_forced_off()
         ):

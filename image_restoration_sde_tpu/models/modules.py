@@ -10,7 +10,6 @@ f32 for stability).
 
 from __future__ import annotations
 
-import contextlib
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -32,38 +31,27 @@ _USE_PALLAS = os.environ.get("IRSDE_DISABLE_PALLAS", "0") != "1"
 # decision per call site.
 _PALLAS_MIN_BATCH = int(os.environ.get("IRSDE_PALLAS_MIN_BATCH", "4"))
 
-# Trace-time kill-switch (see ``no_pallas``): AOT export traces with a
-# *symbolic* batch dim, which cannot answer the ``batch >= N`` gate, and
-# exported artifacts must stay pure StableHLO (no custom-calls) to lower
-# for platforms the exporting host doesn't have.
-_PALLAS_FORCED_OFF = False
-
-
-@contextlib.contextmanager
-def no_pallas():
-    """Force every kernel gate off for the enclosed trace (used by
-    ``exporting``; nests and restores the previous state)."""
-    global _PALLAS_FORCED_OFF
-    prev = _PALLAS_FORCED_OFF
-    _PALLAS_FORCED_OFF = True
-    try:
-        yield
-    finally:
-        _PALLAS_FORCED_OFF = prev
+# Trace-time kill-/force-switches for AOT export live in kernel_gate (a
+# leaf module, because ops/* also consult them); re-exported here for the
+# natural import site.
+from ..kernel_gate import force_pallas, no_pallas  # noqa: F401
+from .. import kernel_gate as _kg
 
 
 def pallas_forced_off() -> bool:
     """True inside a ``no_pallas()`` block (gates that don't go through
     ``use_pallas`` — e.g. DiT's sequence-length flash gate — consult this)."""
-    return _PALLAS_FORCED_OFF
+    return _kg.forced_off()
 
 
 def use_pallas(batch: int, site: Optional[str] = None) -> bool:
     """Trace-time kernel gate.  ``site`` ("ln", "attn", ...) allows
     per-call-site overrides via IRSDE_PALLAS_<SITE>=0/1 for measurement
     (the batch crossover differs per kernel)."""
-    if _PALLAS_FORCED_OFF or not _USE_PALLAS:
+    if _kg.forced_off() or not _USE_PALLAS:
         return False
+    if _kg.forced_on():
+        return True
     if site is not None:
         v = os.environ.get(f"IRSDE_PALLAS_{site.upper()}")
         if v is not None:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..kernel_gate import target_is_tpu
 from .modules import (
     ChannelLayerNorm,
     check_image_size,
@@ -155,7 +156,7 @@ class ConditionalNAFNet(nn.Module):
             # batch-1/2 layout poisoning around custom-calls (see
             # modules._PALLAS_MIN_BATCH); interpret mode keeps tests running
             and (use_pallas(x.shape[0]) or interp)
-            and (jax.default_backend() == "tpu" or interp)
+            and (target_is_tpu() or interp)
             # a batch chunk of the activation must fit the kernel's per-chunk
             # VMEM budget (the kernel grids over (batch_chunks, blocks))
             and batch_chunk(x.shape) >= 1

@@ -16,6 +16,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ..kernel_gate import target_is_tpu
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -60,7 +62,7 @@ def channel_layernorm(x, g, eps: float = 1e-5, use_pallas: bool = True, interpre
 
 
 def _forward(x, g, eps, use_pallas, interpret):
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = target_is_tpu()  # real backend, or a force_pallas() export trace
     if use_pallas and (on_tpu or interpret):
         shape = x.shape
         x2d = x.reshape(-1, shape[-1])

@@ -21,6 +21,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ..kernel_gate import target_is_tpu
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -357,7 +359,7 @@ def linear_attention_packed(
 
 def _packed_forward(qkv, heads, dim_head, use_pallas, interpret):
     N = qkv.shape[-2]
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = target_is_tpu()  # real backend, or a force_pallas() export trace
     if (
         use_pallas
         and (on_tpu or interpret)
@@ -390,7 +392,7 @@ def linear_attention(q, k, v, use_pallas: bool = True, interpret: bool = False):
 
 def _forward(q, k, v, use_pallas, interpret):
     N, d = q.shape[-2], q.shape[-1]
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = target_is_tpu()  # real backend, or a force_pallas() export trace
     if use_pallas and (on_tpu or interpret):
         if _fits_vmem(N, d):
             return _pallas_linear_attention(q, k, v, interpret=interpret)

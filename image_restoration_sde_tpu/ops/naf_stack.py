@@ -24,6 +24,8 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+from ..kernel_gate import target_is_tpu
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -179,7 +181,7 @@ def naf_stack(x, stacked, eps: float = 1e-5, use_pallas: bool = True, interpret:
 
 
 def _forward(x, stacked, eps, use_pallas, interpret):
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = target_is_tpu()  # real backend, or a force_pallas() export trace
     if use_pallas and (on_tpu or interpret):
         return _pallas_naf_stack(x, stacked, eps, interpret=interpret)
     return _jnp_naf_stack(x, stacked, eps)

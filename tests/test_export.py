@@ -78,6 +78,36 @@ def test_export_pixel_sampler_symbolic_batch(tmp_path):
         )
 
 
+def test_export_tpu_only_with_kernels():
+    """kernels=True (TPU-only, fixed batch) keeps the pallas kernels: the
+    serialized module must contain Mosaic tpu_custom_call sites (Mosaic
+    lowering runs from a CPU-only exporting host)."""
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=2, schedule="cosine", eps=0.005)
+
+    data = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior",
+        batch=4, platforms=("tpu",), kernels=True,
+    )
+    header, payload = exporting.unpack_artifact(data)
+    assert header["kernels"] is True and header["platforms"] == ["tpu"]
+    assert b"tpu_custom_call" in payload
+
+    # guard rails: cross-platform or symbolic-batch kernel exports refuse
+    with pytest.raises(ValueError):
+        exporting.export_restoration_sampler(
+            sde, net.apply, params, (16, 16), batch=4,
+            platforms=("cpu", "tpu"), kernels=True,
+        )
+    with pytest.raises(ValueError):
+        exporting.export_restoration_sampler(
+            sde, net.apply, params, (16, 16), batch=None,
+            platforms=("tpu",), kernels=True,
+        )
+
+
 def test_export_latent_sampler(tmp_path):
     comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(1, 2), embed_dim=4)
     key = jax.random.PRNGKey(0)

@@ -65,6 +65,9 @@ def main():
     parser.add_argument("--platforms", type=str, default="cpu,tpu")
     parser.add_argument("--steps", type=int, default=0, help="override sample_T")
     parser.add_argument("--bf16", action="store_true", help="bake bf16-cast score params")
+    parser.add_argument("--kernels", action="store_true",
+                        help="keep pallas kernels in the artifact "
+                             "(requires --batch >= gate and --platforms tpu)")
     parser.add_argument("--check", action="store_true",
                         help="reload the artifact and verify against the live sampler")
     args = parser.parse_args()
@@ -99,7 +102,7 @@ def main():
             task.sde, task.net.apply, task.encode_fn, task.decode_fn,
             task.latent_params, params, size,
             mode=task._mode, steps=steps, batch=batch, platforms=platforms,
-            cast_params=cast, meta=meta,
+            kernels=args.kernels, cast_params=cast, meta=meta,
         )
     elif isinstance(task, PixelDiffusionTask):
         mode = opt["sde"]["sampling_mode"] or "sde"
@@ -107,7 +110,7 @@ def main():
         data = exporting.export_restoration_sampler(
             task.sde, task.net.apply, params, size,
             mode=mode, steps=steps, channels=in_nc, batch=batch,
-            platforms=platforms, cast_params=cast, meta=meta,
+            platforms=platforms, kernels=args.kernels, cast_params=cast, meta=meta,
         )
     else:
         raise SystemExit(
