@@ -200,8 +200,11 @@ class MdbWriter:
         self._items: Dict[bytes, bytes] = {}
 
     def put(self, key: bytes, value: bytes):
-        if not (0 < len(key) < (self.psize - PAGEHDRSZ) // 4):
-            raise ValueError(f"key size {len(key)} unsupported")
+        # liblmdb's MDB_MAXKEYSIZE is 511: a longer key would write a file
+        # our own reader accepts but real lmdb rejects (MDB_BAD_VALSIZE),
+        # silently breaking the documented interop guarantee
+        if not (0 < len(key) <= min(511, (self.psize - PAGEHDRSZ) // 4 - 1)):
+            raise ValueError(f"key size {len(key)} unsupported (liblmdb max 511)")
         self._items[bytes(key)] = bytes(value)
 
     def __enter__(self):

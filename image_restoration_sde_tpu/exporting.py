@@ -80,10 +80,13 @@ def export_fn(
 
     ``kernels=True`` keeps the pallas kernels in the artifact (Mosaic
     ``tpu_custom_call`` is on jax.export's guaranteed-stable list, and
-    Mosaic lowering runs fine from a CPU-only exporting host — the gates'
-    backend checks are overridden by ``kernel_gate.force_pallas``).
-    Requires a TPU-only platform list and concrete (non-symbolic) arg
-    shapes — the batch>=N kernel gates must be answerable at trace time."""
+    Mosaic lowering runs fine from a CPU-only exporting host —
+    ``kernel_gate.force_pallas`` overrides the gates' *backend* checks
+    only).  Requires a TPU-only platform list and concrete (non-symbolic)
+    arg shapes: the measured batch>=N crossover gates still answer at
+    trace time, so the artifact makes the same kernel choices the live
+    TPU sampler would at that batch (a batch-1 --kernels export correctly
+    bakes none)."""
     from jax import export as jexport
 
     from .kernel_gate import force_pallas
@@ -94,16 +97,20 @@ def export_fn(
     ctx = force_pallas() if kernels else no_pallas()
     with ctx:
         exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*arg_specs)
+    payload = exp.serialize()
     header = {
         "format": "jax.export",
         "platforms": list(platforms),
         "kernels": bool(kernels),
+        # what actually got baked: kernels=True at a batch below the
+        # measured crossover correctly gates everything off
+        "custom_calls": bool(kernels) and b"tpu_custom_call" in payload,
         "in_avals": [str(a) for a in exp.in_avals],
         "out_avals": [str(a) for a in exp.out_avals],
         "jax_version": jax.__version__,
         **(meta or {}),
     }
-    return pack_artifact(header, exp.serialize())
+    return pack_artifact(header, payload)
 
 
 def export_restoration_sampler(

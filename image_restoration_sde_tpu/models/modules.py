@@ -48,10 +48,13 @@ def use_pallas(batch: int, site: Optional[str] = None) -> bool:
     """Trace-time kernel gate.  ``site`` ("ln", "attn", ...) allows
     per-call-site overrides via IRSDE_PALLAS_<SITE>=0/1 for measurement
     (the batch crossover differs per kernel)."""
+    # NOTE: force_pallas() (kernel_gate.forced_on) deliberately does NOT
+    # bypass this function — it only overrides *backend* checks
+    # (target_is_tpu).  The batch>=N crossover below still applies during a
+    # kernels=True export trace, so an exported artifact makes the same
+    # kernel choices the live TPU sampler would at that batch.
     if _kg.forced_off() or not _USE_PALLAS:
         return False
-    if _kg.forced_on():
-        return True
     if site is not None:
         v = os.environ.get(f"IRSDE_PALLAS_{site.upper()}")
         if v is not None:

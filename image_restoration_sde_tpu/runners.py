@@ -159,6 +159,17 @@ class _Base:
             return replicate(jnp.asarray(x), self.mesh)
         return jnp.asarray(x)
 
+    def _save_val_images(self, out_img, out_dir, step, i):
+        """Save the first few validation outputs (primary process only).
+        For stereo (6ch) outputs, split_eyes writes one PNG per eye — cv2
+        cannot encode 6 channels (ref stereo-sr/train.py:282-287 validates
+        on the concatenated eyes; PSNR here does the same upstream)."""
+        if i < 3 and process_is_primary():
+            from .utils.img_utils import split_eyes
+
+            for eye, img in split_eyes(out_img):
+                save_img(img, os.path.join(out_dir, f"{step}_{i}{eye}.png"))
+
     def maybe_load_pretrained(self, resume: bool):
         raise NotImplementedError
 
@@ -223,7 +234,9 @@ class PixelDiffusionTask(_Base):
         return self._jit_step(state, lq, gt, key)
 
     def sample_batch(self, params, tiles, key):
-        return self.sampler(params, jnp.asarray(tiles), key)
+        # _globalize: tiled eval must stay multi-host safe like infer/validate
+        # (params may be global mesh arrays; tools/test.py tile path)
+        return self.sampler(params, self._globalize(tiles), self._globalize(key))
 
     def infer(self, params, batch, key):
         """batch -> (restored NHWC f32, conditioning LQ used)."""
@@ -245,17 +258,9 @@ class PixelDiffusionTask(_Base):
             vlq, hw = pad_to_bucket(np.asarray(lq), 64)
             out = unpad(self.sampler(state.params, self._globalize(vlq), self._globalize(key)), hw)
             out_img = tensor2img(out[0])
-            # PSNR over all channels — for stereo (6ch) this matches the
-            # reference's validation on the concatenated eyes
-            # (stereo-sr/train.py:282-287); save_img splits eyes into
-            # separate PNGs (cv2 cannot encode 6 channels)
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
-            if i < 3 and process_is_primary():
-                from .utils.img_utils import split_eyes
-
-                for eye, img in split_eyes(out_img):
-                    save_img(img, os.path.join(out_dir, f"{step}_{i}{eye}.png"))
+            self._save_val_images(out_img, out_dir, step, i)
         return {"psnr": avg_psnr / max(1, n)}
 
 
@@ -312,7 +317,7 @@ class GaussianDenoisingTask(_Base):
         return self._jit_step(state, gt, key)
 
     def sample_batch(self, params, tiles, key):
-        return self.sampler(params, jnp.asarray(tiles))
+        return self.sampler(params, self._globalize(tiles))
 
     def infer(self, params, batch, key):
         if "LQ" in batch:
@@ -334,17 +339,9 @@ class GaussianDenoisingTask(_Base):
             vlq, hw = pad_to_bucket(np.asarray(noisy), 64)
             out = unpad(self.sampler(state.params, self._globalize(vlq)), hw)
             out_img = tensor2img(out[0])
-            # PSNR over all channels — for stereo (6ch) this matches the
-            # reference's validation on the concatenated eyes
-            # (stereo-sr/train.py:282-287); save_img splits eyes into
-            # separate PNGs (cv2 cannot encode 6 channels)
             avg_psnr += metrics.calculate_psnr(out_img, tensor2img(gt[0]))
             n += 1
-            if i < 3 and process_is_primary():
-                from .utils.img_utils import split_eyes
-
-                for eye, img in split_eyes(out_img):
-                    save_img(img, os.path.join(out_dir, f"{step}_{i}{eye}.png"))
+            self._save_val_images(out_img, out_dir, step, i)
         return {"psnr": avg_psnr / max(1, n)}
 
 
@@ -513,7 +510,7 @@ class LatentDiffusionTask(_Base):
     def sample_batch(self, params, tiles, key):
         if self._sampler is None:
             self._build_fns()
-        return self._sampler(params, jnp.asarray(tiles), key)
+        return self._sampler(params, self._globalize(tiles), self._globalize(key))
 
     def infer(self, params, batch, key):
         if self._sampler is None:

@@ -62,6 +62,24 @@ def _sample_chunk(batch: int, chunk: Optional[int]) -> int:
     return min(chunk, batch)
 
 
+def _batch_dim_sharded(lq) -> bool:
+    """True iff the leading (batch) axis is actually *partitioned* across
+    devices.  Chunking is a single-device VMEM-residency trick: a
+    batch-sharded input is already at its per-device operating point and
+    ``lax.map`` would serialize the devices' work — but a merely
+    *replicated* multi-device input (multi-host validation) still holds
+    the full batch per device and must keep chunking."""
+    if not (isinstance(lq, jax.Array) and hasattr(lq, "sharding")):
+        return False
+    sharding = lq.sharding
+    if len(getattr(sharding, "device_set", ())) <= 1:
+        return False
+    try:
+        return sharding.shard_shape(lq.shape)[0] < lq.shape[0]
+    except Exception:
+        return True  # unknown sharding type: don't risk serializing devices
+
+
 def make_restoration_sampler(
     sde: IRSDE,
     apply_fn: Callable,  # (params, xt, cond, tvec) -> noise
@@ -101,15 +119,7 @@ def make_restoration_sampler(
 
     def sample(params, lq, key):
         B = lq.shape[0]
-        # chunking is a single-device VMEM-residency trick: a batch that is
-        # sharded over a mesh is already at its per-device operating point,
-        # and lax.map would serialize the devices' work instead
-        sharded = (
-            isinstance(lq, jax.Array)
-            and hasattr(lq, "sharding")
-            and len(getattr(lq.sharding, "device_set", ())) > 1
-        )
-        c = B if sharded else _sample_chunk(B, chunk)
+        c = B if _batch_dim_sharded(lq) else _sample_chunk(B, chunk)
         return _sample(params, lq, key, c=c)
 
     return sample

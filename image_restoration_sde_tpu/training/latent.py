@@ -151,7 +151,7 @@ def make_latent_sampler(
     every step; the one-shot compressor stays f32)."""
     from functools import partial
 
-    from ..sampling import _sample_chunk, cast_f32_leaves
+    from ..sampling import _batch_dim_sharded, _sample_chunk, cast_f32_leaves
     from ..sde import samplers
 
     def sample_one(params, lq, key, cond):
@@ -196,12 +196,7 @@ def make_latent_sampler(
 
     def sample(params, lq, key, cond=None):
         B = lq.shape[0]
-        sharded = (
-            isinstance(lq, jax.Array)
-            and hasattr(lq, "sharding")
-            and len(getattr(lq.sharding, "device_set", ())) > 1
-        )
-        c = B if sharded else _sample_chunk(B, chunk)
+        c = B if _batch_dim_sharded(lq) else _sample_chunk(B, chunk)
         return _sample(params, lq, key, cond, c=c)
 
     return sample

@@ -93,7 +93,18 @@ def test_export_tpu_only_with_kernels():
     )
     header, payload = exporting.unpack_artifact(data)
     assert header["kernels"] is True and header["platforms"] == ["tpu"]
+    assert header["custom_calls"] is True
     assert b"tpu_custom_call" in payload
+
+    # below the measured batch crossover the gates still answer: a batch-1
+    # kernels export correctly bakes NO custom-calls (and says so)
+    data1 = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior",
+        batch=1, platforms=("tpu",), kernels=True,
+    )
+    header1, payload1 = exporting.unpack_artifact(data1)
+    assert header1["custom_calls"] is False
+    assert b"tpu_custom_call" not in payload1
 
     # guard rails: cross-platform or symbolic-batch kernel exports refuse
     with pytest.raises(ValueError):

@@ -256,3 +256,14 @@ def test_latent_sampler_sharded_input_not_chunked(compressor, monkeypatch):
     out = sample({}, lq, jax.random.PRNGKey(1))
     assert out.shape == lq.shape and bool(jnp.isfinite(out).all())
     assert traced_batches == [8]  # no chunking on sharded inputs
+
+    # a merely REPLICATED multi-device input (multi-host validation) still
+    # holds the full batch per device and must keep chunking
+    traced_batches.clear()
+    lq_rep = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3)),
+        NamedSharding(mesh, P()),
+    )
+    out2 = sample({}, lq_rep, jax.random.PRNGKey(1))
+    assert out2.shape == lq_rep.shape
+    assert traced_batches == [2]  # replicated: chunked at IRSDE_SAMPLE_CHUNK

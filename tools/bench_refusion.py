@@ -85,7 +85,6 @@ def main():
         out = sampler(params, lq, jax.random.fold_in(key, i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
-    times.sort()
     med = statistics.median(times)
     print(json.dumps({
         "metric": f"Refusion latent restoration images/sec/chip ({size}px, {steps}-step latent SDE, {label})",

@@ -106,7 +106,10 @@ def main():
         )
     elif isinstance(task, PixelDiffusionTask):
         mode = opt["sde"]["sampling_mode"] or "sde"
-        in_nc = 6 if getattr(task, "stereo", False) else 3
+        # same channel math as PixelDiffusionTask.__init__ (stereo stacks eyes)
+        in_nc = int(task.setting.get("in_nc") or task.setting.get("img_channel") or 3)
+        if getattr(task, "stereo", False):
+            in_nc *= 2
         data = exporting.export_restoration_sampler(
             task.sde, task.net.apply, params, size,
             mode=mode, steps=steps, channels=in_nc, batch=batch,

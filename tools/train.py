@@ -165,7 +165,7 @@ def main():
     # it (shape_based_tp_sharding) while batches stay on 'data'.  This
     # generalizes the reference's DDP-only stack (ref train.py:28-40);
     # model_parallel=1 (default) is exactly data parallelism.
-    tp = int(os.environ.get("IRSDE_TP") or (opt["train"]["model_parallel"] or 1))
+    tp = int(os.environ.get("IRSDE_TP") or (opt["train"]["model_parallel"] or 1)) or 1
     mesh = make_mesh(model_parallel=tp)
     task = build_task(opt, mesh, seed, base_key)
     logger.info(f"Task {type(task).__name__}: {task.n_params():,d} parameters")
