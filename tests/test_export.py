@@ -3,6 +3,7 @@ pixel + latent sampler export with symbolic batch and cpu+tpu lowering,
 tight numeric agreement with the live sampler, and the CLI tool
 end-to-end."""
 
+import io
 import json
 import os
 import subprocess
@@ -148,6 +149,65 @@ def test_export_latent_sampler(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4
     )
+
+
+def test_serve_http_roundtrip(tmp_path):
+    """tools/serve.py loads an artifact and restores a POSTed PNG; /health
+    returns the header; oversized inputs get a 400."""
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=2, schedule="cosine", eps=0.005)
+    art = tmp_path / "m.irsdex"
+    art.write_bytes(exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", platforms=("cpu",),
+    ))
+
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+         "--artifact", str(art), "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        line = proc.stdout.readline()  # blocks until warmed + bound
+        assert line.startswith("serving on "), line
+        addr = line.strip().split()[-1]
+
+        with urllib.request.urlopen(f"http://{addr}/health", timeout=60) as r:
+            header = json.loads(r.read())
+        assert header["kind"] == "restoration_sampler"
+
+        rs = np.random.RandomState(0)
+        img = (rs.rand(12, 14, 3) * 255).astype(np.uint8)  # smaller: pads
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://{addr}/restore?seed=3", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "image/png"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+        big = io.BytesIO()
+        Image.fromarray((rs.rand(32, 32, 3) * 255).astype(np.uint8)).save(big, format="PNG")
+        req = urllib.request.Request(
+            f"http://{addr}/restore", data=big.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
 
 
 def test_export_cli(tmp_path):
