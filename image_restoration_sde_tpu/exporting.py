@@ -170,6 +170,57 @@ def export_restoration_sampler(
     return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
 
 
+def export_denoising_sampler(
+    sde,  # DenoisingSDE
+    apply_fn: Callable,  # (params, x, tvec) -> noise
+    params: Any,
+    size: Tuple[int, int],
+    sigma: float,
+    *,
+    channels: int = 3,
+    batch: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    kernels: bool = False,
+    meta: Optional[dict] = None,
+) -> bytes:
+    """Gaussian-denoising artifact: reverse ODE from the optimal timestep
+    for ``sigma`` (ref denoising-sde denoising_model.py:162-170).  The
+    ``seed`` input is accepted but unused (deterministic ODE) so every
+    artifact kind shares the ``call(lq, seed)`` interface."""
+    from jax import export as jexport
+
+    from .sampling import make_denoising_sampler
+
+    sampler = make_denoising_sampler(sde, apply_fn, sigma)
+
+    def serve(noisy, seed):
+        del seed  # deterministic reverse ODE; interface uniformity only
+        return sampler(params, noisy)
+
+    if batch is None:
+        if kernels:
+            raise ValueError("kernels=True needs a concrete batch "
+                             "(the batch>=N gates can't answer a symbolic dim)")
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    H, W = size
+    specs = (
+        jax.ShapeDtypeStruct((b, H, W, channels), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.uint32),
+    )
+    info = {
+        "kind": "denoising_sampler",
+        "sigma": float(sigma),
+        "size": [H, W],
+        "channels": channels,
+        "batch": "symbolic" if batch is None else int(batch),
+        "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
+        **(meta or {}),
+    }
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
+
+
 def export_latent_sampler(
     sde: IRSDE,
     model_apply: Callable,

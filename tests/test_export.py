@@ -151,6 +151,37 @@ def test_export_latent_sampler(tmp_path):
     )
 
 
+def test_export_denoising_sampler():
+    """Gaussian-denoising artifacts share the (lq, seed) interface but run
+    the deterministic optimal-t reverse ODE (seed ignored)."""
+    from image_restoration_sde_tpu.sampling import make_denoising_sampler
+    from image_restoration_sde_tpu.sde.denoising_sde import DenoisingSDE
+
+    net = ConditionalNAFNet(img_channel=3, width=8, middle_blk_num=1,
+                            enc_blk_nums=(1,), dec_blk_nums=(1,),
+                            conditional=False)
+    x = jnp.zeros((1, 16, 16, 3))
+    apply_fn = lambda p, z, t: net.apply(p, z, None, t)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, None, jnp.array([1.0]))
+    sde = DenoisingSDE.create(max_sigma=50.0, T=10)
+
+    data = exporting.export_denoising_sampler(
+        sde, apply_fn, params, (16, 16), sigma=25.0, platforms=("cpu",),
+    )
+    call, header = exporting.load_artifact(data)
+    assert header["kind"] == "denoising_sampler" and header["sigma"] == 25.0
+    noisy = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1 + 0.5
+    got = call(noisy, jnp.uint32(0))
+    live = make_denoising_sampler(sde, apply_fn, 25.0)
+    with no_pallas():
+        want = live(params, noisy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-4)
+    # deterministic: the seed input must not matter
+    np.testing.assert_array_equal(
+        np.asarray(call(noisy, jnp.uint32(123))), np.asarray(got)
+    )
+
+
 def test_serve_http_roundtrip(tmp_path):
     """tools/serve.py loads an artifact and restores a POSTed PNG; /health
     returns the header; oversized inputs get a 400."""

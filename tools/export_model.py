@@ -48,6 +48,7 @@ from image_restoration_sde_tpu import exporting
 from image_restoration_sde_tpu.parallel import make_mesh
 from image_restoration_sde_tpu.runners import (
     BokehLatentDiffusionTask,
+    GaussianDenoisingTask,
     LatentDiffusionTask,
     PixelDiffusionTask,
     build_task,
@@ -97,7 +98,12 @@ def main():
             "bokeh latent models take a per-request lens tuple; the (lq, seed) "
             "serving interface doesn't carry it — export not supported"
         )
-    if isinstance(task, LatentDiffusionTask):
+    if isinstance(task, GaussianDenoisingTask):
+        data = exporting.export_denoising_sampler(
+            task.sde, task.apply_uncond, params, size, task.sigma,
+            batch=batch, platforms=platforms, kernels=args.kernels, meta=meta,
+        )
+    elif isinstance(task, LatentDiffusionTask):
         data = exporting.export_latent_sampler(
             task.sde, task.net.apply, task.encode_fn, task.decode_fn,
             task.latent_params, params, size,
