@@ -18,6 +18,10 @@ stack (Algolzw/image-restoration-sde) as an idiomatic JAX/XLA/Pallas framework:
                   augmentation and matlab-faithful bicubic resize.
 - ``utils``     : YAML config system (reference option files run unchanged),
                   metrics (PSNR/SSIM), image IO, logging.
+- ``exporting`` : AOT serving artifacts via jax.export — whole sampler
+                  programs as versioned StableHLO (weights baked in,
+                  cpu+tpu lowering, symbolic batch), served by
+                  ``tools/serve.py`` without any model code.
 """
 
 __version__ = "0.1.0"
