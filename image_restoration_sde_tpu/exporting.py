@@ -294,9 +294,14 @@ def export_latent_sampler(
 
 
 # -------------------------------------------------------------------- load
-def load_artifact(data_or_path) -> Tuple[Callable, dict]:
+def load_artifact(data_or_path, mesh=None) -> Tuple[Callable, dict]:
     """Returns ``(call, header)``.  ``call(lq, seed)`` runs the exported
-    program on the current default platform (must be in header["platforms"])."""
+    program on the current default platform (must be in header["platforms"]).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis turns one
+    symbolic-batch artifact into a data-parallel server — the call is
+    re-jitted with the batch sharded over ``data`` (verified equal to the
+    single-device call in tests/test_export.py)."""
     from jax import export as jexport
 
     if isinstance(data_or_path, (bytes, bytearray)):
@@ -306,4 +311,10 @@ def load_artifact(data_or_path) -> Tuple[Callable, dict]:
             data = f.read()
     header, payload = unpack_artifact(data)
     exp = jexport.deserialize(payload)
-    return exp.call, header
+    call = exp.call
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        call = jax.jit(exp.call, in_shardings=(sh, None), out_shardings=sh)
+    return call, header

@@ -79,6 +79,34 @@ def test_export_pixel_sampler_symbolic_batch(tmp_path):
         )
 
 
+def test_load_artifact_data_parallel():
+    """One symbolic-batch artifact serves data-parallel: load_artifact(mesh=)
+    re-jits the call with the batch sharded over 'data', output equal to the
+    single-device call."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=4, schedule="cosine", eps=0.005)
+    data = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", platforms=("cpu",))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    call_dp, _ = exporting.load_artifact(data, mesh=mesh)
+    call, _ = exporting.load_artifact(data)
+    lq = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3)),
+        NamedSharding(mesh, P("data")),
+    )
+    out = call_dp(lq, jnp.uint32(3))
+    assert out.sharding.is_equivalent_to(NamedSharding(mesh, P("data")), out.ndim)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(call(jax.device_get(lq), jnp.uint32(3))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_export_tpu_only_with_kernels():
     """kernels=True (TPU-only, fixed batch) keeps the pallas kernels: the
     serialized module must contain Mosaic tpu_custom_call sites (Mosaic
