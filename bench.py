@@ -30,6 +30,10 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
 )
+# sitecustomize clobbers JAX_PLATFORMS; IRSDE_PLATFORM=cpu forces CPU for
+# smoke runs (same escape hatch as the other benches/drivers)
+if os.environ.get("IRSDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
 import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 1.0  # estimated reference throughput (see docstring)
