@@ -88,6 +88,9 @@ def main():
                 "value": round(imgs_per_sec, 4),
                 "unit": "img/s/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
+                "baseline_kind": "analytic estimate (~1 img/s on the reference's "
+                                 "TITAN XP dev hardware; the reference publishes "
+                                 "no measured throughput)",
             }
         )
     )
