@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .modules import (
+    Attention,
     ChannelLayerNorm,
     Downsample,
     LinearAttention,
@@ -97,9 +98,13 @@ class ConditionalUNet(nn.Module):
 
         mid_dim = self.nf * (2**self.depth)
         x = ResBlock(mid_dim, dtype=self.dtype, name="mid_block1")(x, t)
+        # conditional variant: linear attention in the mid block (deraining
+        # arch.py:72); unconditional denoising-sde variant: FULL spatial
+        # attention (denoising-sde/.../DenoisingUNet_arch.py:71)
+        mid_attn_cls = LinearAttention if self.conditional else Attention
         x = PreNormResidual(
             mid_dim,
-            LinearAttention(mid_dim, dtype=self.dtype, name="mid_attn"),
+            mid_attn_cls(mid_dim, dtype=self.dtype, name="mid_attn"),
             dtype=self.dtype,
             name="mid_attn_wrap",
         )(x)

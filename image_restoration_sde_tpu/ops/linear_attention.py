@@ -312,17 +312,27 @@ def _jnp_packed_lanes(qkv, heads, dim_head):
     emits zero relayout copies around it (the reshape path costs ~30% of
     batch-1 sampler time in transposes).  The cross-head products the full
     128-wide contractions compute are masked off; the FLOP waste (4x on
-    ~0.5% of the net's FLOPs) is far below the copy cost it removes."""
+    ~0.5% of the net's FLOPs) is far below the copy cost it removes.
+
+    Mixed precision: softmax statistics (max/exp/segment sums/divisions)
+    always run f32; for bf16 inputs the two context contractions feed the
+    MXU bf16 operands with f32 accumulation (preferred_element_type) — the
+    bf16 train-forward path (tools/train.py keeps pallas off) otherwise
+    pays f32 matmul rates on (B, N, 3*hid) activations."""
     B, N, _ = qkv.shape
     hid = heads * dim_head
     x = qkv.astype(jnp.float32)
     q, k, v = x[:, :, :hid], x[:, :, hid : 2 * hid], x[:, :, 2 * hid :]
     mask = _head_mask(dim_head)[:hid, :hid]  # (hid, hid) block-diagonal
+    mm_dtype = jnp.bfloat16 if qkv.dtype == jnp.bfloat16 else jnp.float32
+    f32 = dict(preferred_element_type=jnp.float32)
 
-    # softmax over N per channel (already segment-local)
+    # softmax over N per channel (already segment-local), f32
     ks = jax.nn.softmax(k, axis=1)
     # ctx[b, d, e] = sum_n ks[b, n, d] v[b, n, e] / N, cross-head terms zeroed
-    ctx = jnp.einsum("bnd,bne->bde", ks, v / N) * mask
+    ctx = jnp.einsum(
+        "bnd,bne->bde", ks.astype(mm_dtype), (v / N).astype(mm_dtype), **f32
+    ) * mask
 
     # per-head softmax over d: masked per-head max, exp, block-diag row sums
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hid), 2) // dim_head
@@ -332,9 +342,9 @@ def _jnp_packed_lanes(qkv, heads, dim_head):
         mh = jnp.max(jnp.where(sel, q, -jnp.inf), axis=2, keepdims=True)
         m = m + jnp.where(sel, mh, 0.0)
     e = jnp.exp(q - m)
-    seg = jnp.einsum("bnd,de->bne", e, mask)  # each lane: its head's sum
+    seg = jnp.einsum("bnd,de->bne", e, mask)  # each lane: its head's sum (f32)
     qs = e / seg * (dim_head**-0.5)
-    out = jnp.einsum("bnd,bde->bne", qs, ctx)
+    out = jnp.einsum("bnd,bde->bne", qs.astype(mm_dtype), ctx.astype(mm_dtype), **f32)
     return out.astype(qkv.dtype)
 
 

@@ -18,6 +18,13 @@ vector keeps the same network code path for per-sample training timesteps).
 
 Set ``return_all=True`` to also get the full state trajectory (used by the
 interpolation demo and debug state dumps — ref sde_utils.py:259-264).
+
+The stochastic samplers accept an optional pre-drawn ``noise_seq`` of shape
+``(T, *x.shape)`` (consumed t=T first) instead of a PRNG key.  This exists
+for chain-level parity testing against the reference's torch loops — the
+same noise draws can be threaded through both implementations
+(tests/test_chain_parity.py) — and for externally-reproducible sampling.
+The key-driven path's RNG stream is unchanged.
 """
 
 from __future__ import annotations
@@ -47,6 +54,29 @@ def _maybe_all(x, states, return_all):
     return (x, states) if return_all else x
 
 
+def _scan_with_noise(step, x0, ts, key, noise_seq, return_all):
+    """Scan ``step(x, t, z) -> x`` over ``ts``, drawing ``z`` either from the
+    pre-drawn ``noise_seq`` stack (parity/reproducibility path) or from the
+    split-per-step PRNG ``key`` (production path, stream unchanged)."""
+    if noise_seq is not None:
+        def body(x, tz):
+            t, z = tz
+            x = step(x, t, z)
+            return x, (x if return_all else None)
+
+        return jax.lax.scan(body, x0, (ts, noise_seq))
+
+    def body(carry, t):
+        x, key = carry
+        key, k = jax.random.split(key)
+        z = jax.random.normal(k, x.shape, x.dtype)
+        x = step(x, t, z)
+        return (x, key), (x if return_all else None)
+
+    (x, _), states = jax.lax.scan(body, (x0, key), ts)
+    return x, states
+
+
 # --------------------------------------------------------------------- IRSDE
 
 
@@ -54,9 +84,10 @@ def forward_sde(
     sde: IRSDE,
     x0: Array,
     mu: Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     steps: Optional[int] = None,
     return_all: bool = False,
+    noise_seq: Optional[Array] = None,
 ):
     """Run the forward mean-reverting SDE x0 -> xT (no network).
 
@@ -66,14 +97,10 @@ def forward_sde(
     T = sde.T if steps is None else steps
     ts = jnp.arange(1, T + 1, dtype=jnp.int32)
 
-    def body(carry, t):
-        x, key = carry
-        key, k = jax.random.split(key)
-        z = jax.random.normal(k, x.shape, x.dtype)
-        x = sde.forward_step(x, mu, t, z)
-        return (x, key), (x if return_all else None)
+    def step(x, t, z):
+        return sde.forward_step(x, mu, t, z)
 
-    (x, _), states = jax.lax.scan(body, (x0, key), ts)
+    x, states = _scan_with_noise(step, x0, ts, key, noise_seq, return_all)
     return _maybe_all(x, states, return_all)
 
 
@@ -82,9 +109,10 @@ def reverse_sde(
     noise_fn: CondNoiseFn,
     xt: Array,
     mu: Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     steps: Optional[int] = None,
     return_all: bool = False,
+    noise_seq: Optional[Array] = None,
 ):
     """Euler–Maruyama reverse SDE, one net call per step.
 
@@ -93,16 +121,12 @@ def reverse_sde(
     T = sde.T if steps is None else steps
     batch = xt.shape[0]
 
-    def body(carry, t):
-        x, key = carry
-        key, k = jax.random.split(key)
+    def step(x, t, z):
         noise_pred = noise_fn(x, mu, _tvec(batch, t))
         score = sde.score_from_noise(noise_pred, t)
-        z = jax.random.normal(k, x.shape, x.dtype)
-        x = sde.reverse_sde_step(x, mu, score, t, z)
-        return (x, key), (x if return_all else None)
+        return sde.reverse_sde_step(x, mu, score, t, z)
 
-    (x, _), states = jax.lax.scan(body, (xt, key), _ts_desc(T))
+    x, states = _scan_with_noise(step, xt, _ts_desc(T), key, noise_seq, return_all)
     return _maybe_all(x, states, return_all)
 
 
@@ -133,23 +157,20 @@ def reverse_posterior(
     noise_fn: CondNoiseFn,
     xt: Array,
     mu: Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     steps: Optional[int] = None,
     return_all: bool = False,
+    noise_seq: Optional[Array] = None,
 ):
     """DDPM-style ancestral sampler (2024 update).  Ref: sde_utils.py:284-299."""
     T = sde.T if steps is None else steps
     batch = xt.shape[0]
 
-    def body(carry, t):
-        x, key = carry
-        key, k = jax.random.split(key)
+    def step(x, t, z):
         noise_pred = noise_fn(x, mu, _tvec(batch, t))
-        z = jax.random.normal(k, x.shape, x.dtype)
-        x = sde.reverse_posterior_step(x, mu, noise_pred, t, z)
-        return (x, key), (x if return_all else None)
+        return sde.reverse_posterior_step(x, mu, noise_pred, t, z)
 
-    (x, _), states = jax.lax.scan(body, (xt, key), _ts_desc(T))
+    x, states = _scan_with_noise(step, xt, _ts_desc(T), key, noise_seq, return_all)
     return _maybe_all(x, states, return_all)
 
 
@@ -224,10 +245,11 @@ def dsde_reverse_sde(
     sde: DenoisingSDE,
     noise_fn: Optional[UncondNoiseFn],
     xt: Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     x0: Optional[Array] = None,
     steps: Optional[int] = None,
     return_all: bool = False,
+    noise_seq: Optional[Array] = None,
 ):
     """Reverse SDE for the denoising variant; with ``x0`` given, uses the
     analytic real score instead of the network.  Ref: sde_utils.py:483-500.
@@ -235,19 +257,15 @@ def dsde_reverse_sde(
     T = sde.T if steps is None else steps
     batch = xt.shape[0]
 
-    def body(carry, t):
-        x, key = carry
-        key, k = jax.random.split(key)
+    def step(x, t, z):
         if x0 is not None:
             score = sde.get_real_score(x, x0, t)
         else:
             noise_pred = noise_fn(x, _tvec(batch, t))
             score = sde.score_from_noise(noise_pred, t)
-        z = jax.random.normal(k, x.shape, x.dtype)
-        x = sde.reverse_sde_step(x, score, t, z)
-        return (x, key), (x if return_all else None)
+        return sde.reverse_sde_step(x, score, t, z)
 
-    (x, _), states = jax.lax.scan(body, (xt, key), _ts_desc(T))
+    x, states = _scan_with_noise(step, xt, _ts_desc(T), key, noise_seq, return_all)
     return _maybe_all(x, states, return_all)
 
 

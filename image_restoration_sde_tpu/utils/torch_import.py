@@ -64,12 +64,24 @@ def _linear_attn_rules(torch_prefix: str, flax_attn: str, flax_wrap: str) -> Dic
     }
 
 
-def unet_key_rules(depth: int = 4) -> Dict[str, Rule]:
+def _full_attn_rules(torch_prefix: str, flax_attn: str, flax_wrap: str) -> Dict[str, Rule]:
+    # torch: Residual(PreNorm(dim, Attention(dim))) — full spatial attention;
+    # to_out is a bare Conv2d (no LayerNorm), ref module_util.py:182-204
+    return {
+        f"{flax_wrap}/ChannelLayerNorm_0/g": (f"{torch_prefix}.fn.norm.g", _norm_g),
+        f"{flax_attn}/Conv_0/kernel": (f"{torch_prefix}.fn.fn.to_qkv.weight", _conv_w),
+        f"{flax_attn}/Conv_1/kernel": (f"{torch_prefix}.fn.fn.to_out.weight", _conv_w),
+        f"{flax_attn}/Conv_1/bias": (f"{torch_prefix}.fn.fn.to_out.bias", _ident),
+    }
+
+
+def unet_key_rules(depth: int = 4, conditional: bool = True) -> Dict[str, Rule]:
     """flax path -> (torch state_dict key, transform) for ConditionalUNet.
 
     Reference layout: DenoisingUNet_arch.py:49-76 — ``downs.{i}.{0,1,2,3}``,
     ``ups.{j}`` built with insert(0) so torch index j covers level
-    ``depth-1-j``.
+    ``depth-1-j``.  The unconditional denoising-sde variant uses FULL
+    attention in the mid block (denoising-sde/.../DenoisingUNet_arch.py:71).
     """
     rules: Dict[str, Rule] = {
         "init_conv/kernel": ("init_conv.weight", _conv_w),
@@ -83,7 +95,10 @@ def unet_key_rules(depth: int = 4) -> Dict[str, Rule]:
     rules.update(_resblock_rules("final_res_block", "final_res_block", True))
     rules.update(_resblock_rules("mid_block1", "mid_block1", False))
     rules.update(_resblock_rules("mid_block2", "mid_block2", False))
-    rules.update(_linear_attn_rules("mid_attn", "mid_attn", "mid_attn_wrap"))
+    if conditional:
+        rules.update(_linear_attn_rules("mid_attn", "mid_attn", "mid_attn_wrap"))
+    else:
+        rules.update(_full_attn_rules("mid_attn", "mid_attn", "mid_attn_wrap"))
     for i in range(depth):
         rules.update(_resblock_rules(f"downs.{i}.0", f"down{i}_block1", False))
         rules.update(_resblock_rules(f"downs.{i}.1", f"down{i}_block2", False))
@@ -381,7 +396,10 @@ def rules_for_network(which: str, setting: dict) -> Dict[str, Rule]:
     dispatch used by the task runners when ``pretrain_model_G`` is a ``.pth``."""
     setting = dict(setting or {})
     if which == "ConditionalUNet":
-        return unet_key_rules(int(setting.get("depth", 4)))
+        return unet_key_rules(
+            int(setting.get("depth", 4)),
+            conditional=setting.get("conditional", True) is not False,
+        )
     if which in ("ConditionalNAFNet", "CNAFNetLocal"):
         return nafnet_key_rules(
             setting.get("enc_blk_nums", ()), int(setting.get("middle_blk_num", 1)),

@@ -86,3 +86,22 @@ def test_harness_fails_reference_target(assets, capsys):
     out = capsys.readouterr().out
     assert rc == 1, out
     assert "FAIL" in out
+
+
+def test_harness_reports_lpips_with_pth(assets, capsys, tmp_path):
+    """--lpips-pth drives the in-repo JAX LPIPS (utils/lpips.py): the LPIPS
+    column must carry a real number, matching the reference's metric surface
+    (ref test.py:74,149-150)."""
+    torch = pytest.importorskip("torch")
+    from test_lpips import _random_state_dict
+
+    root, setting, pth = assets
+    lpips_pth = tmp_path / "lpips_alex.pth"
+    torch.save(_random_state_dict(), str(lpips_pth))
+    rc = _run(root, setting, pth,
+              ["--target-psnr", "3.0", "--lpips-pth", str(lpips_pth)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    lpips_line = [l for l in out.splitlines() if l.startswith("LPIPS")][0]
+    val = lpips_line.split()[1]
+    assert val != "n/a" and float(val) >= 0.0

@@ -98,6 +98,11 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                    help="compute dtype (bf16 is the production TPU path)")
     p.add_argument("--max-images", type=int, default=0, help="0 = all")
+    p.add_argument(
+        "--lpips-pth", default=None,
+        help="lpips.LPIPS(net='alex') full state_dict .pth for the in-repo "
+             "JAX LPIPS (utils/lpips.py); also via IRSDE_LPIPS_PTH. Falls "
+             "back to the lpips pip package if installed.")
     p.add_argument("--crop-border", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", help="also save restored PNGs here")
@@ -141,7 +146,9 @@ def main(argv=None) -> int:
         cast_params=dtype if dtype == jnp.bfloat16 else None,
     )
     key = jax.random.PRNGKey(args.seed)
-    lpips_fn = try_lpips()
+    from image_restoration_sde_tpu.utils.lpips import lpips_fn_from_env_or_arg
+
+    lpips_fn = lpips_fn_from_env_or_arg(args.lpips_pth) or try_lpips()
 
     sums = dict(psnr=0.0, ssim=0.0, psnr_y=0.0, ssim_y=0.0, lpips=0.0, time=0.0)
     n, n_lpips = 0, 0

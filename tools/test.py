@@ -63,6 +63,11 @@ def try_lpips():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True)
+    parser.add_argument(
+        "--lpips-pth", default=None,
+        help="lpips.LPIPS(net='alex') full state_dict .pth for the in-repo "
+             "JAX LPIPS (utils/lpips.py); also via IRSDE_LPIPS_PTH. Falls "
+             "back to the lpips pip package if installed.")
     args = parser.parse_args()
     opt = options.dict_to_nonedict(options.parse(args.opt, is_train=False))
 
@@ -87,7 +92,9 @@ def main():
     task.maybe_load_pretrained(resume=False)
     params = task.state.params
 
-    lpips_fn = try_lpips()
+    from image_restoration_sde_tpu.utils.lpips import lpips_fn_from_env_or_arg
+
+    lpips_fn = lpips_fn_from_env_or_arg(args.lpips_pth) or try_lpips()
     suffix = opt["suffix"] or ""
 
     for phase, dataset_opt in opt["datasets"].items():

@@ -37,6 +37,8 @@ REFERENCE = os.environ.get("IRSDE_REFERENCE", "/root/reference")
 # arch -> (reference task dir, torch class name in its modules package)
 TASK_DIR = {
     "ConditionalUNet": ("deraining", "ConditionalUNet"),
+    # unconditional denoising-sde variant: forward(x, t), full mid attention
+    "DenoisingUNet": ("denoising-sde", "ConditionalUNet"),
     "ConditionalNAFNet": ("deraining", "ConditionalNAFNet"),
     "StereoConditionalNAFNet": ("stereo-sr", "ConditionalNAFNet"),
     "BokehConditionalNAFNet": ("latent-bokeh", "ConditionalNAFNet"),
@@ -46,6 +48,7 @@ TASK_DIR = {
 
 DEFAULT_SETTINGS = {
     "ConditionalUNet": {"in_nc": 3, "out_nc": 3, "nf": 16, "depth": 3},
+    "DenoisingUNet": {"in_nc": 3, "out_nc": 3, "nf": 16, "depth": 3},
     "ConditionalNAFNet": {"width": 16, "enc_blk_nums": [1, 1], "middle_blk_num": 1,
                           "dec_blk_nums": [1, 1]},
     "StereoConditionalNAFNet": {"width": 8, "enc_blk_nums": [1], "middle_blk_num": 1,
@@ -143,12 +146,16 @@ def build_torch_net(arch: str, setting: dict):
 def build_flax_net(arch: str, setting: dict):
     from image_restoration_sde_tpu.models import build_network
 
+    if arch == "DenoisingUNet":
+        return build_network("ConditionalUNet", {**setting, "conditional": False})
     return build_network(arch, setting)
 
 
 def flax_rules(arch: str, setting: dict):
     from image_restoration_sde_tpu.utils.torch_import import rules_for_network
 
+    if arch == "DenoisingUNet":
+        return rules_for_network("ConditionalUNet", {**setting, "conditional": False})
     return rules_for_network(arch, setting)
 
 
@@ -193,6 +200,8 @@ def compare(arch: str, setting: dict, pth: str | None, size: int, batch: int,
     with torch.no_grad():
         if arch == "UNet":
             t_out = tnet(xt)
+        elif arch == "DenoisingUNet":
+            t_out = tnet(xt, tt)
         elif arch == "BokehConditionalNAFNet":
             t_out = tnet(xt, ct, tt, lens_info=[torch.from_numpy(v) for v in lens])
         else:
@@ -203,6 +212,8 @@ def compare(arch: str, setting: dict, pth: str | None, size: int, batch: int,
     xj, cj, tj = jnp.asarray(x), jnp.asarray(cond), jnp.asarray(tvec)
     if arch == "UNet":
         params = jax.jit(fnet.init)(jax.random.PRNGKey(0), xj)
+    elif arch == "DenoisingUNet":
+        params = jax.jit(lambda k: fnet.init(k, xj, None, tj))(jax.random.PRNGKey(0))
     elif arch == "BokehConditionalNAFNet":
         params = jax.jit(
             lambda k: fnet.init(k, xj, cj, tj, lens_info=tuple(map(jnp.asarray, lens)))
@@ -213,6 +224,8 @@ def compare(arch: str, setting: dict, pth: str | None, size: int, batch: int,
 
     if arch == "UNet":
         f_out = jax.jit(fnet.apply)(params, xj)
+    elif arch == "DenoisingUNet":
+        f_out = jax.jit(lambda p: fnet.apply(p, xj, None, tj))(params)
     elif arch == "BokehConditionalNAFNet":
         f_out = jax.jit(
             lambda p: fnet.apply(p, xj, cj, tj, lens_info=tuple(map(jnp.asarray, lens)))
