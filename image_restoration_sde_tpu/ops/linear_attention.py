@@ -321,28 +321,35 @@ def _jnp_packed_lanes(qkv, heads, dim_head):
     pays f32 matmul rates on (B, N, 3*hid) activations."""
     B, N, _ = qkv.shape
     hid = heads * dim_head
-    x = qkv.astype(jnp.float32)
-    q, k, v = x[:, :, :hid], x[:, :, hid : 2 * hid], x[:, :, 2 * hid :]
+    # slice in the INPUT dtype — a whole-tensor f32 cast up front forces XLA
+    # to materialize (and relayout-copy) a f32 (B, N, 3*hid) activation;
+    # per-consumer converts fuse into the downstream ops instead
+    q = qkv[:, :, :hid]
+    k = qkv[:, :, hid : 2 * hid]
+    v = qkv[:, :, 2 * hid :]
     mask = _head_mask(dim_head)[:hid, :hid]  # (hid, hid) block-diagonal
     mm_dtype = jnp.bfloat16 if qkv.dtype == jnp.bfloat16 else jnp.float32
     f32 = dict(preferred_element_type=jnp.float32)
 
-    # softmax over N per channel (already segment-local), f32
-    ks = jax.nn.softmax(k, axis=1)
+    # softmax over N per channel (already segment-local), f32 statistics
+    ks = jax.nn.softmax(k.astype(jnp.float32), axis=1)
     # ctx[b, d, e] = sum_n ks[b, n, d] v[b, n, e] / N, cross-head terms zeroed
     ctx = jnp.einsum(
         "bnd,bne->bde", ks.astype(mm_dtype), (v / N).astype(mm_dtype), **f32
     ) * mask
 
-    # per-head softmax over d: masked per-head max, exp, block-diag row sums
+    # per-head softmax over d: masked per-head max (exact in any dtype),
+    # f32 exp, block-diag row sums on MXU-dtype operands with f32 accum
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hid), 2) // dim_head
     m = jnp.zeros_like(q)
     for h in range(heads):
         sel = lane_head == h
         mh = jnp.max(jnp.where(sel, q, -jnp.inf), axis=2, keepdims=True)
         m = m + jnp.where(sel, mh, 0.0)
-    e = jnp.exp(q - m)
-    seg = jnp.einsum("bnd,de->bne", e, mask)  # each lane: its head's sum (f32)
+    e = jnp.exp(q.astype(jnp.float32) - m.astype(jnp.float32))
+    seg = jnp.einsum(
+        "bnd,de->bne", e.astype(mm_dtype), mask.astype(mm_dtype), **f32
+    )  # each lane: its head's sum
     qs = e / seg * (dim_head**-0.5)
     out = jnp.einsum("bnd,bde->bne", qs.astype(mm_dtype), ctx.astype(mm_dtype), **f32)
     return out.astype(qkv.dtype)

@@ -70,7 +70,15 @@ def update(state: EmaState, params, cfg: EmaConfig = EmaConfig()) -> EmaState:
 
     def blend(e, p):
         new = decay * e.astype(jnp.float32) + (1.0 - decay) * p.astype(jnp.float32)
-        return jnp.where(is_update_round, new, e.astype(jnp.float32)).astype(e.dtype)
+        return new.astype(e.dtype)
 
-    new_params = jax.tree.map(blend, state.params, params)
+    # lax.cond (not a tree-wide where): on the 9/10 non-update rounds the
+    # identity branch aliases the EMA buffers instead of re-reading and
+    # re-writing the whole parameter-sized tree every step
+    new_params = jax.lax.cond(
+        is_update_round,
+        lambda e: jax.tree.map(blend, e, params),
+        lambda e: e,
+        state.params,
+    )
     return EmaState(params=new_params, step=step + 1)

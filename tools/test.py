@@ -190,6 +190,13 @@ def main():
                 f"LPIPS {lp_avg} time/img {sums['time']/n:.3f}s"
             )
 
+        if os.environ.get("IRSDE_LOG_HBM"):
+            # peak device memory for the run (4K-class accounting, BENCH.md)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                logger.info(f"--- peak HBM: {peak / 2**30:.2f} GiB")
+
 
 if __name__ == "__main__":
     main()
