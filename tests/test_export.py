@@ -309,3 +309,130 @@ def test_export_cli(tmp_path):
     header = json.loads(r2.stdout)
     assert header["kind"] == "restoration_sampler"
     assert header["config"] == "exp-unit"
+
+
+# ------------------------------------------------- serving micro-batching
+def _load_serve_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "irsde_serve", os.path.join(REPO, "tools", "serve.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_micro_batcher_fixed_batch_pads_and_routes():
+    """3 concurrent requests against a fixed-batch-4 program ride ONE call,
+    padded with a replica row; each caller gets its own row back."""
+    serve = _load_serve_module()
+    calls = []
+
+    def fake_call(xs, seed):
+        xs = np.asarray(xs)
+        calls.append(xs.shape[0])
+        return xs + 1.0
+
+    mb = serve.MicroBatcher(fake_call, fixed=4, window_s=0.25)
+    imgs = [np.full((2, 2, 3), i, np.float32) for i in range(3)]
+    futs = [mb.submit(img, 0) for img in imgs]
+    outs = [f.result(timeout=30) for f in futs]
+    assert calls == [4]
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, imgs[i] + 1.0)
+
+
+def test_micro_batcher_pow2_buckets_symbolic():
+    """Symbolic-batch artifacts see pow2 batch sizes only (bounded compiles)."""
+    serve = _load_serve_module()
+    calls = []
+
+    def fake_call(xs, seed):
+        xs = np.asarray(xs)
+        calls.append(xs.shape[0])
+        return xs
+
+    mb = serve.MicroBatcher(fake_call, fixed=None, max_batch=8, window_s=0.25)
+    futs = [mb.submit(np.zeros((2, 2, 3), np.float32), 0) for _ in range(5)]
+    for f in futs:
+        f.result(timeout=30)
+    assert calls == [8]  # 5 requests -> one bucket-8 call
+
+
+def test_micro_batcher_fans_out_failures():
+    serve = _load_serve_module()
+
+    def bad_call(xs, seed):
+        raise RuntimeError("device fell over")
+
+    mb = serve.MicroBatcher(bad_call, fixed=None, max_batch=2, window_s=0.05)
+    fut = mb.submit(np.zeros((2, 2, 3), np.float32), 0)
+    with pytest.raises(RuntimeError, match="device fell over"):
+        fut.result(timeout=30)
+    # the worker survives a failed batch and keeps serving
+    ok = serve.MicroBatcher(lambda xs, s: np.asarray(xs), fixed=None,
+                            max_batch=1, window_s=0.0)
+    assert ok.submit(np.ones((1, 1, 3), np.float32), 0).result(timeout=30).shape == (1, 1, 3)
+
+
+def test_serve_fixed_batch_artifact_concurrent(tmp_path):
+    """A fixed-batch export (the kernels-artifact shape) is servable: two
+    concurrent requests share one device call; /health reports the pin."""
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=2, schedule="cosine", eps=0.005)
+    art = tmp_path / "mb2.irsdex"
+    art.write_bytes(exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", batch=2,
+        platforms=("cpu",),
+    ))
+
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+         "--artifact", str(art), "--port", "0", "--window-ms", "200"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert line.startswith("serving on "), line + proc.stderr.read()
+        addr = line.strip().split()[-1]
+
+        with urllib.request.urlopen(f"http://{addr}/health", timeout=60) as r:
+            header = json.loads(r.read())
+        assert header["serving"]["fixed_batch"] == 2
+        assert header["serving"]["max_batch"] == 2
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, format="PNG")
+        body = buf.getvalue()
+        results = [None, None]
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://{addr}/restore?seed={i}", data=body, method="POST",
+                headers={"Content-Type": "image/png"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for out in results:
+            assert out is not None and out.shape == (16, 16, 3)
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)

@@ -7,12 +7,25 @@ process (ref app.py): here the model is a sealed ``.irsdex`` artifact
 ``exporting.load_artifact`` and image IO.
 
     python tools/serve.py --artifact derain.irsdex [--host 127.0.0.1] [--port 0]
+                          [--max-batch 8] [--window-ms 5]
 
 Endpoints:
-- ``GET  /health``          -> artifact header JSON
+- ``GET  /health``          -> artifact header JSON (+ serving config)
 - ``POST /restore[?seed=N]`` -> body: PNG/JPEG image; response: restored PNG.
   Inputs smaller than the artifact's traced HxW are reflect-padded and
   cropped back; larger inputs are rejected (export at a bigger --size).
+
+Concurrent requests are micro-batched into one device call (``MicroBatcher``):
+the first request opens a ``--window-ms`` collection window, and up to
+``--max-batch`` requests ride the same program invocation — this is how the
+batch-8 TPU operating point (BENCH.md) is reached under serving load, and it
+is *required* for fixed-batch artifacts (``--batch N`` exports), whose program
+only accepts exactly N images.  Fixed-batch artifacts are padded with replica
+rows when the window closes short; symbolic-batch artifacts round the batch
+up to the next power of two so at most log2(max_batch)+1 program variants
+ever compile.  The batch's PRNG seed is the first request's ``seed`` (each
+image still draws distinct noise by batch position); per-request seed is
+exactly reproducible only at concurrency 1.
 
 ``--port 0`` binds an ephemeral port; the bound port is printed as
 ``serving on <host>:<port>`` (machine-parsable, used by the tests).
@@ -24,29 +37,96 @@ import argparse
 import io
 import json
 import os
+import queue
 import sys
+import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-)
-if os.environ.get("IRSDE_PLATFORM"):
-    jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
-import jax.numpy as jnp
 import numpy as np
 
-from image_restoration_sde_tpu.exporting import load_artifact
+
+class MicroBatcher:
+    """Groups concurrent restore requests into one batched program call.
+
+    ``call(batch_f32_nhwc, seed) -> batch_f32_nhwc`` is the artifact's entry.
+    ``fixed`` (from the artifact header) pins the program's only legal batch;
+    ``None`` means a symbolic batch dim.  A worker thread drains the queue:
+    the first request starts a ``window_s`` collection window, then the
+    assembled batch runs once and each caller's Future gets its row.
+    """
+
+    def __init__(self, call, *, fixed=None, max_batch=8, window_s=0.005):
+        self.call = call
+        self.fixed = int(fixed) if fixed else None
+        self.max_batch = self.fixed or max(1, int(max_batch))
+        self.window_s = float(window_s)
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, img: np.ndarray, seed: int) -> Future:
+        fut: Future = Future()
+        self.q.put((img, seed, fut))
+        return fut
+
+    def _assemble(self, items):
+        xs = np.stack([it[0] for it in items])
+        n = len(items)
+        if self.fixed is not None:
+            target = self.fixed
+        else:  # pow2 buckets bound the number of compiled batch variants
+            target = 1
+            while target < n:
+                target *= 2
+        if n < target:  # replica rows: no NaN paths, dtype/layout identical
+            xs = np.concatenate([xs, np.repeat(xs[-1:], target - n, axis=0)])
+        return xs
+
+    def _worker(self):
+        import jax.numpy as jnp
+
+        while True:
+            items = [self.q.get()]
+            if self.max_batch > 1:
+                deadline = time.monotonic() + self.window_s
+                while len(items) < self.max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        items.append(self.q.get(timeout=left))
+                    except queue.Empty:
+                        break
+            try:
+                xs = self._assemble(items)
+                out = np.asarray(self.call(jnp.asarray(xs), jnp.uint32(items[0][1])))
+                for i, (_, _, fut) in enumerate(items):
+                    fut.set_result(out[i])
+            except Exception as e:  # noqa: BLE001 — fan the failure out, keep serving
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
-def build_handler(call, header):
+def build_handler(call, header, *, max_batch=8, window_ms=5.0):
     H, W = header["size"]
     channels = header.get("channels", 3)
+    fixed = header.get("batch")
+    fixed = fixed if isinstance(fixed, int) else None
+    batcher = MicroBatcher(
+        call, fixed=fixed, max_batch=max_batch, window_s=window_ms / 1000.0
+    )
+    info = dict(header)
+    info["serving"] = {
+        "max_batch": batcher.max_batch,
+        "window_ms": float(window_ms),
+        "fixed_batch": batcher.fixed,
+    }
 
     def restore(img: np.ndarray, seed: int) -> np.ndarray:
         h, w = img.shape[:2]
@@ -58,8 +138,7 @@ def build_handler(call, header):
         if x.shape[-1] != channels:
             raise ValueError(f"expected {channels} channels, got {x.shape[-1]}")
         x = np.pad(x, ((0, H - h), (0, W - w), (0, 0)), mode="reflect")
-        out = call(jnp.asarray(x)[None], jnp.uint32(seed))
-        out = np.asarray(out)[0, :h, :w]
+        out = batcher.submit(x, seed).result()[:h, :w]
         return (np.clip(out, 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
     class Handler(BaseHTTPRequestHandler):
@@ -76,7 +155,7 @@ def build_handler(call, header):
         def do_GET(self):
             if urlparse(self.path).path != "/health":
                 return self._send(404, b"not found", "text/plain")
-            body = json.dumps(header, sort_keys=True).encode()
+            body = json.dumps(info, sort_keys=True).encode()
             self._send(200, body, "application/json")
 
         def do_POST(self):
@@ -106,15 +185,40 @@ def main():
     parser.add_argument("--artifact", required=True)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="micro-batch cap for symbolic-batch artifacts "
+                             "(fixed-batch artifacts pin their own)")
+    parser.add_argument("--window-ms", type=float, default=5.0,
+                        help="micro-batch collection window after the first "
+                             "request of a batch arrives")
     args = parser.parse_args()
 
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
+    if os.environ.get("IRSDE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["IRSDE_PLATFORM"])
+
+    from image_restoration_sde_tpu.exporting import load_artifact
+
     call, header = load_artifact(args.artifact)
-    handler, restore = build_handler(call, header)
+    handler, restore = build_handler(
+        call, header, max_batch=args.max_batch, window_ms=args.window_ms
+    )
 
     # warm the compiled path before accepting traffic (first jax.export call
-    # compiles for the local backend; ~seconds)
+    # compiles for the local backend; ~seconds).  The full-batch variant is
+    # the steady-state program under load; smaller pow2 buckets of a
+    # symbolic-batch artifact compile on first use.
+    import jax.numpy as jnp
+
     H, W = header["size"]
-    restore(np.zeros((H, W, header.get("channels", 3)), np.uint8), 0)
+    b = header["batch"] if isinstance(header.get("batch"), int) else args.max_batch
+    np.asarray(call(jnp.zeros((b, H, W, header.get("channels", 3)), jnp.float32),
+                    jnp.uint32(0)))
 
     srv = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"serving on {srv.server_address[0]}:{srv.server_address[1]}", flush=True)
