@@ -66,6 +66,23 @@ def read_header(path: str) -> dict:
     return unpack_artifact(data)[0]
 
 
+# ------------------------------------------------------- sidecar weights
+def _serialize_params(params) -> bytes:
+    """Flax msgpack of the params pytree (handles bf16 leaves)."""
+    import numpy as np
+    from flax import serialization
+
+    return serialization.msgpack_serialize(
+        jax.tree.map(lambda a: np.asarray(a), params)
+    )
+
+
+def _deserialize_params(blob: bytes):
+    from flax import serialization
+
+    return serialization.msgpack_restore(blob)
+
+
 # ------------------------------------------------------------------ export
 def _precast(params, cast_params):
     """Apply the cast-params optimization HOST-SIDE before baking: a cast
@@ -86,6 +103,7 @@ def export_fn(
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
     meta: Optional[dict] = None,
+    sidecar_params=None,
 ) -> bytes:
     """Export an arbitrary jittable ``fn`` at ``arg_specs``
     (ShapeDtypeStructs, symbolic dims allowed) into a packed artifact.
@@ -98,7 +116,17 @@ def export_fn(
     arg shapes: the measured batch>=N crossover gates still answer at
     trace time, so the artifact makes the same kernel choices the live
     TPU sampler would at that batch (a batch-1 --kernels export correctly
-    bakes none)."""
+    bakes none).
+
+    ``sidecar_params``: store this params pytree in the artifact file
+    *beside* the program instead of baking it into the StableHLO — ``fn``
+    must then take the params as its first argument, and ``arg_specs``
+    must NOT include them (their specs are derived here).  Sidecar keeps
+    the serialized program small (MBs, not the weights' hundreds of MBs):
+    weights travel as ordinary runtime device buffers, so compile payloads
+    stay bounded (remote-compile transports cap request sizes) and a
+    loading host can shard or re-cast them.  The serving interface after
+    ``load_artifact`` is identical — params are rebound internally."""
     from jax import export as jexport
 
     from .kernel_gate import force_pallas
@@ -106,6 +134,11 @@ def export_fn(
     if kernels and tuple(platforms) != ("tpu",):
         raise ValueError("kernels=True requires platforms=('tpu',) — "
                          "custom-calls don't lower cross-platform")
+    if sidecar_params is not None:
+        pspecs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), sidecar_params
+        )
+        arg_specs = (pspecs, *arg_specs)
     ctx = force_pallas() if kernels else no_pallas()
     with ctx:
         exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*arg_specs)
@@ -122,6 +155,10 @@ def export_fn(
         "jax_version": jax.__version__,
         **(meta or {}),
     }
+    if sidecar_params is not None:
+        header["params"] = "sidecar"
+        header["export_len"] = len(payload)
+        payload = payload + _serialize_params(sidecar_params)
     return pack_artifact(header, payload)
 
 
@@ -138,6 +175,7 @@ def export_restoration_sampler(
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
     cast_params=None,
+    sidecar: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Bake ``params`` into a self-contained restoration-serving artifact.
@@ -146,7 +184,9 @@ def export_restoration_sampler(
     reverse chain (ref test-time flow: config/deraining/test.py:70-120 +
     sde_utils.py reverse loop — here one compiled program).  ``batch=None``
     exports a symbolic batch dim; chunking is disabled (the serving host
-    picks its own operating-point batch per request).
+    picks its own operating-point batch per request).  ``sidecar=True``
+    stores the weights beside the program instead of inside it (see
+    ``export_fn``) — same one-file artifact, same ``call(lq, seed)``.
     """
     from jax import export as jexport
 
@@ -155,8 +195,12 @@ def export_restoration_sampler(
         sde, apply_fn, mode=mode, steps=steps, chunk=0, cast_params=cast_params
     )
 
-    def serve(lq, seed):
-        return sampler(params, lq, jax.random.PRNGKey(seed))
+    if sidecar:
+        def serve(p, lq, seed):
+            return sampler(p, lq, jax.random.PRNGKey(seed))
+    else:
+        def serve(lq, seed):
+            return sampler(params, lq, jax.random.PRNGKey(seed))
 
     if batch is None:
         if kernels:
@@ -180,7 +224,8 @@ def export_restoration_sampler(
         "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
         **(meta or {}),
     }
-    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels,
+                     meta=info, sidecar_params=params if sidecar else None)
 
 
 def export_denoising_sampler(
@@ -194,6 +239,7 @@ def export_denoising_sampler(
     batch: Optional[int] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
+    sidecar: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Gaussian-denoising artifact: reverse ODE from the optimal timestep
@@ -206,9 +252,14 @@ def export_denoising_sampler(
 
     sampler = make_denoising_sampler(sde, apply_fn, sigma)
 
-    def serve(noisy, seed):
-        del seed  # deterministic reverse ODE; interface uniformity only
-        return sampler(params, noisy)
+    if sidecar:
+        def serve(p, noisy, seed):
+            del seed  # deterministic reverse ODE; interface uniformity only
+            return sampler(p, noisy)
+    else:
+        def serve(noisy, seed):
+            del seed  # deterministic reverse ODE; interface uniformity only
+            return sampler(params, noisy)
 
     if batch is None:
         if kernels:
@@ -231,7 +282,8 @@ def export_denoising_sampler(
         "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
         **(meta or {}),
     }
-    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels,
+                     meta=info, sidecar_params=params if sidecar else None)
 
 
 def export_latent_sampler(
@@ -249,11 +301,13 @@ def export_latent_sampler(
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
     cast_params=None,
+    sidecar: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Refusion artifact: compressor encode -> latent reverse SDE -> decode,
-    one program with both networks' weights baked in (ref latent-dehazing
-    test flow, latent_denoising_model.py test())."""
+    one program with both networks' weights in one file (ref latent-dehazing
+    test flow, latent_denoising_model.py test()).  ``sidecar=True`` stores
+    ``{"score": params, "latent": latent_params}`` beside the program."""
     from jax import export as jexport
 
     from .training.latent import make_latent_sampler
@@ -264,8 +318,18 @@ def export_latent_sampler(
         mode=mode, steps=steps, cast_params=cast_params, chunk=0,
     )
 
-    def serve(lq, seed):
-        return sampler(params, lq, jax.random.PRNGKey(seed))
+    if sidecar:
+        def serve(p, lq, seed):
+            # rebuild the sampler around the traced compressor params (the
+            # module-level one closed over the concrete latent_params)
+            smp = make_latent_sampler(
+                sde, model_apply, encode_fn, decode_fn, p["latent"],
+                mode=mode, steps=steps, cast_params=cast_params, chunk=0,
+            )
+            return smp(p["score"], lq, jax.random.PRNGKey(seed))
+    else:
+        def serve(lq, seed):
+            return sampler(params, lq, jax.random.PRNGKey(seed))
 
     if batch is None:
         if kernels:
@@ -290,7 +354,9 @@ def export_latent_sampler(
         ),
         **(meta or {}),
     }
-    return export_fn(serve, specs, platforms=platforms, kernels=kernels, meta=info)
+    side = {"score": params, "latent": latent_params} if sidecar else None
+    return export_fn(serve, specs, platforms=platforms, kernels=kernels,
+                     meta=info, sidecar_params=side)
 
 
 # -------------------------------------------------------------------- load
@@ -298,10 +364,15 @@ def load_artifact(data_or_path, mesh=None) -> Tuple[Callable, dict]:
     """Returns ``(call, header)``.  ``call(lq, seed)`` runs the exported
     program on the current default platform (must be in header["platforms"]).
 
+    Sidecar artifacts (``header["params"] == "sidecar"``) are rebound here:
+    the stored weights become runtime device buffers passed on every call —
+    the external interface stays ``call(lq, seed)``.
+
     ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis turns one
     symbolic-batch artifact into a data-parallel server — the call is
-    re-jitted with the batch sharded over ``data`` (verified equal to the
-    single-device call in tests/test_export.py)."""
+    re-jitted with the batch sharded over ``data`` (and sidecar weights
+    replicated); verified equal to the single-device call in
+    tests/test_export.py."""
     from jax import export as jexport
 
     if isinstance(data_or_path, (bytes, bytearray)):
@@ -310,11 +381,35 @@ def load_artifact(data_or_path, mesh=None) -> Tuple[Callable, dict]:
         with open(data_or_path, "rb") as f:
             data = f.read()
     header, payload = unpack_artifact(data)
-    exp = jexport.deserialize(payload)
-    call = exp.call
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        sh = NamedSharding(mesh, PartitionSpec("data"))
-        call = jax.jit(exp.call, in_shardings=(sh, None), out_shardings=sh)
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        rep_sh = NamedSharding(mesh, PartitionSpec())
+
+    if header.get("params") == "sidecar":
+        cut = int(header["export_len"])
+        exp = jexport.deserialize(payload[:cut])
+        params = _deserialize_params(payload[cut:])
+        if mesh is not None:
+            params = jax.device_put(params, rep_sh)
+            jcall = jax.jit(exp.call, in_shardings=(rep_sh, batch_sh, None),
+                            out_shardings=batch_sh)
+        else:
+            params = jax.device_put(params)
+            jcall = jax.jit(exp.call)
+
+        def call(lq, seed):
+            # params go through as arguments (buffers), never as program
+            # constants — compile payloads stay weight-free
+            return jcall(params, lq, seed)
+
+        return call, header
+
+    exp = jexport.deserialize(payload)
+    call = exp.call
+    if mesh is not None:
+        call = jax.jit(exp.call, in_shardings=(batch_sh, None),
+                       out_shardings=batch_sh)
     return call, header

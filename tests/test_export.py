@@ -436,3 +436,70 @@ def test_serve_fixed_batch_artifact_concurrent(tmp_path):
     finally:
         proc.kill()
         proc.wait(timeout=30)
+
+
+# ----------------------------------------------------- sidecar weights mode
+def test_export_sidecar_pixel_matches_baked(tmp_path):
+    """Sidecar artifacts keep the program weight-free (bounded compile
+    payloads) but serve identically: same (lq, seed) interface, same
+    numerics as the baked artifact and the live sampler."""
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=4, schedule="cosine", eps=0.005)
+
+    baked = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", platforms=("cpu",),
+    )
+    side = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", platforms=("cpu",),
+        sidecar=True,
+    )
+    h = exporting.unpack_artifact(side)[0]
+    assert h["params"] == "sidecar"
+    # the program itself no longer carries the weights
+    n_bytes = sum(4 * p.size for p in jax.tree.leaves(params))
+    assert h["export_len"] < len(baked) - n_bytes // 2
+
+    call_b, _ = exporting.load_artifact(baked)
+    call_s, hdr = exporting.load_artifact(side)
+    assert hdr["params"] == "sidecar"
+    lq = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    got_b = np.asarray(call_b(lq, jnp.uint32(5)))
+    got_s = np.asarray(call_s(lq, jnp.uint32(5)))
+    np.testing.assert_allclose(got_s, got_b, rtol=1e-5, atol=1e-4)
+
+
+def test_export_sidecar_latent_and_dp_mesh(tmp_path):
+    """Latent sidecar stores both nets' weights; load_artifact(mesh=) still
+    data-parallelizes the batch with replicated sidecar weights."""
+    from jax.sharding import Mesh
+
+    net = ConditionalNAFNet(img_channel=4, width=8, middle_blk_num=1,
+                            enc_blk_nums=(1,), dec_blk_nums=(1,))
+    lnet = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(1, 2), embed_dim=4)
+    lq = jnp.zeros((1, 16, 16, 3))
+    lparams = jax.jit(lnet.init)(jax.random.PRNGKey(0), lq)
+    encode = lambda p, x: lnet.apply(p, x, method=lnet.encode)
+    decode = lambda p, z, skips: lnet.apply(p, z, skips, method=lnet.decode)
+    z, _ = encode(lparams, lq)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(1), jnp.zeros(z.shape), jnp.zeros(z.shape),
+        jnp.array([1.0]),
+    )
+    sde = IRSDE.create(max_sigma=10.0, T=3, schedule="cosine", eps=0.005)
+
+    side = exporting.export_latent_sampler(
+        sde, net.apply, encode, decode, lparams, params, (16, 16),
+        mode="posterior", platforms=("cpu",), sidecar=True,
+    )
+    call, hdr = exporting.load_artifact(side)
+    assert hdr["params"] == "sidecar" and hdr["kind"] == "latent_sampler"
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    want = np.asarray(call(x, jnp.uint32(1)))
+    assert want.shape == (2, 16, 16, 3) and np.isfinite(want).all()
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("data",))
+    call_dp, _ = exporting.load_artifact(side, mesh=mesh)
+    got = np.asarray(call_dp(x, jnp.uint32(1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -66,6 +66,11 @@ def main():
     parser.add_argument("--platforms", type=str, default="cpu,tpu")
     parser.add_argument("--steps", type=int, default=0, help="override sample_T")
     parser.add_argument("--bf16", action="store_true", help="bake bf16-cast score params")
+    parser.add_argument("--sidecar", action="store_true",
+                        help="store weights beside the program instead of "
+                             "baking them into the StableHLO (small compile "
+                             "payloads; required for remote-compile backends "
+                             "that cap request size)")
     parser.add_argument("--kernels", action="store_true",
                         help="keep pallas kernels in the artifact "
                              "(requires --batch >= gate and --platforms tpu)")
@@ -101,14 +106,16 @@ def main():
     if isinstance(task, GaussianDenoisingTask):
         data = exporting.export_denoising_sampler(
             task.sde, task.apply_uncond, params, size, task.sigma,
-            batch=batch, platforms=platforms, kernels=args.kernels, meta=meta,
+            batch=batch, platforms=platforms, kernels=args.kernels,
+            sidecar=args.sidecar, meta=meta,
         )
     elif isinstance(task, LatentDiffusionTask):
         data = exporting.export_latent_sampler(
             task.sde, task.net.apply, task.encode_fn, task.decode_fn,
             task.latent_params, params, size,
             mode=task._mode, steps=steps, batch=batch, platforms=platforms,
-            kernels=args.kernels, cast_params=cast, meta=meta,
+            kernels=args.kernels, cast_params=cast, sidecar=args.sidecar,
+            meta=meta,
         )
     elif isinstance(task, PixelDiffusionTask):
         mode = opt["sde"]["sampling_mode"] or "sde"
@@ -119,7 +126,8 @@ def main():
         data = exporting.export_restoration_sampler(
             task.sde, task.net.apply, params, size,
             mode=mode, steps=steps, channels=in_nc, batch=batch,
-            platforms=platforms, kernels=args.kernels, cast_params=cast, meta=meta,
+            platforms=platforms, kernels=args.kernels, cast_params=cast,
+            sidecar=args.sidecar, meta=meta,
         )
     else:
         raise SystemExit(
