@@ -7,15 +7,28 @@ tokens, 16 heads) that is 16*4096^2 f32 scores per layer per step — an HBM
 disaster on TPU.  This kernel streams K/V blocks against each Q block with
 an online-softmax accumulator, so scores never leave VMEM:
 
-  grid (B, H, Nq, Nk);  per step:  s = q @ k^T * scale   (MXU, f32 accum)
-  running max m / sum l / output acc carried in VMEM scratch across Nk;
-  finalized out = acc / l on the last Nk step.
+  grid (B, H/g, Nq, Nk);  per step and per packed head:
+  s = q_h @ k_h^T * scale (MXU, f32 accum); running max m / sum l / output
+  acc carried in VMEM scratch across Nk; finalized out = acc / l on the
+  last Nk step.
+
+Head packing (g = 128 // head_dim heads per program): DiT heads are D=64,
+half a 128-lane tile.  Earlier revisions transposed to (B, H, N, D) and
+blocked per head — every VMEM tile and every DMA ran half-empty, and the
+transposes materialized all of q/k/v/out twice per layer.  Here q/k/v stay
+in their natural projection layout (B, N, H*D) (the reshape from
+(B, N, H, D) is layout-free), each program owns g adjacent heads whose
+lanes fill a full 128-lane tile, and K/V blocks stream from HBM once per
+head *pair* instead of once per head.  The per-head D=64 score matmul
+itself is pinned at half MXU fill either way (packing the contraction
+mixes heads), so the win is memory-system, not FLOPs: full-lane tiles,
+zero relayouts, halved K/V traffic.
 
 Operand dtype follows the input (bf16 in production, f32 in tests); all
-accumulation is f32.  Block sizes are picked to keep the f32 score tile
-(bq x bk) and accumulators comfortably inside v5e VMEM at any batch — the
-stock jax.experimental flash kernel faulted at batch 4 there (round-2
-VERDICT), which this replaces.
+accumulation is f32.  Block sizes keep the f32 score tile (bq x bk) and
+accumulators comfortably inside v5e VMEM at any batch — the stock
+jax.experimental flash kernel faulted at batch 4 there (round-2 VERDICT),
+which this replaces.
 
 Backward (training) recomputes attention with the einsum reference via
 ``jax.custom_vjp`` — sampling is forward-only, and train crops are small
@@ -41,7 +54,7 @@ def _pick_block(n: int, target: int) -> int:
     return 0
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *, scale):
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *, scale, dh, g):
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -51,27 +64,35 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *, scale):
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    q = q_ref[0, 0]  # (bq, D)
-    k = k_ref[0, 0]  # (bk, D)
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, bk) f32
+    q = q_ref[0]  # (bq, g*dh) — g packed heads side by side in the lanes
+    k = k_ref[0]  # (bk, g*dh)
+    v = v_ref[0]
+    for h in range(g):  # static unroll; each head's online softmax is its own
+        lo = h * dh
+        s = jax.lax.dot_general(
+            q[:, lo:lo + dh], k[:, lo:lo + dh],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk) f32
 
-    m_old = m_sc[:, :1]  # (bq, 1)
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-    corr = jnp.exp(m_old - m_new)
-    p = jnp.exp(s - m_new)
-    l_sc[:, :1] = l_sc[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-    acc_sc[:] = acc_sc[:] * corr + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_sc[:, :1] = m_new
+        m_old = m_sc[h, :, :1]  # (bq, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)
+        l_sc[h, :, :1] = l_sc[h, :, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_sc[:, lo:lo + dh] = acc_sc[:, lo:lo + dh] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, lo:lo + dh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_sc[h, :, :1] = m_new
 
     @pl.when(ik == nk - 1)
     def _():
-        o_ref[0, 0] = (acc_sc[:] / l_sc[:, :1]).astype(o_ref.dtype)
+        bq = acc_sc.shape[0]
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(l_sc[h, :, :1], (bq, dh)) for h in range(g)],
+            axis=1,
+        )
+        o_ref[0] = (acc_sc[:] / denom).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, scale, *, bq=512, bk=1024, interpret=False):
@@ -79,34 +100,37 @@ def _flash_forward(q, k, v, scale, *, bq=512, bk=1024, interpret=False):
     bq = _pick_block(N, bq)
     bk = _pick_block(N, bk)
     assert bq and bk, (N, "not divisible into flash blocks")
-    # (B, H, N, D) inside the kernel: mosaic wants the blocked dims last
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    grid = (B, H, N // bq, N // bk)
-    qspec = pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0),
+    g = max(1, 128 // D)
+    while g > 1 and H % g:
+        g //= 2
+    gd = g * D
+    # layout-free views: (B, N, H, D) -> (B, N, H*D) keeps the projection's
+    # natural memory order, so there is NO transpose/relayout on q/k/v/out
+    qf = q.reshape(B, N, H * D)
+    kf = k.reshape(B, N, H * D)
+    vf = v.reshape(B, N, H * D)
+    grid = (B, H // g, N // bq, N // bk)
+    qspec = pl.BlockSpec((1, bq, gd), lambda b, j, iq, ik: (b, iq, j),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0),
+    kspec = pl.BlockSpec((1, bk, gd), lambda b, j, iq, ik: (b, ik, j),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_fa_kernel, scale=scale),
+        partial(_fa_kernel, scale=scale, dh=D, g=g),
         grid=grid,
         in_specs=[qspec, kspec, kspec],
-        out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((g, bq, 128), jnp.float32),  # running max, per head
+            pltpu.VMEM((g, bq, 128), jnp.float32),  # running sum, per head
+            pltpu.VMEM((bq, gd), jnp.float32),      # packed output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qt, kt, vt)
-    return out.transpose(0, 2, 1, 3)
+    )(qf, kf, vf)
+    return out.reshape(B, N, H, D)
 
 
 def _ref_mha(q, k, v, scale):

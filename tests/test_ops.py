@@ -248,3 +248,28 @@ def test_nafnet_fused_block_run_matches_unfused(monkeypatch):
     monkeypatch.setenv("IRSDE_DISABLE_PALLAS", "1")
     ref = net.apply(p, x, x, jnp.array([3.0, 5.0]))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=0, atol=1e-6)
+
+
+def test_flash_mha_head_packing_variants():
+    """Packed-head flash kernel: g = 128//D heads share a program. Parity
+    must hold for even H (packed pairs at D=64), odd H (packing degrades to
+    g=1), quad packing at D=32, and bf16 operands."""
+    from image_restoration_sde_tpu.ops.flash_attention import _ref_mha, flash_mha
+
+    key = jax.random.PRNGKey(7)
+    for (H, D, dtype, tol) in [(4, 64, jnp.float32, 1e-5),
+                               (3, 64, jnp.float32, 1e-5),
+                               (8, 32, jnp.float32, 1e-5),
+                               (4, 64, jnp.bfloat16, 2e-2)]:
+        kq, kk, kv, key = jax.random.split(key, 4)
+        B, N = 1, 256
+        q = jax.random.normal(kq, (B, N, H, D), dtype)
+        k = jax.random.normal(kk, (B, N, H, D), dtype)
+        v = jax.random.normal(kv, (B, N, H, D), dtype)
+        scale = D**-0.5
+        ref = _ref_mha(q.astype(jnp.float32), k.astype(jnp.float32),
+                       v.astype(jnp.float32), scale)
+        got = jax.jit(lambda a, b, c: flash_mha(a, b, c, scale, True))(q, k, v)
+        sc = float(jnp.max(jnp.abs(ref))) + 1e-30
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))) / sc
+        assert err < tol, (H, D, dtype, err)

@@ -31,9 +31,27 @@ from image_restoration_sde_tpu.sde import IRSDE
 from image_restoration_sde_tpu.training.latent import make_latent_sampler
 
 
+def _peak_hbm_gb():
+    """Device-reported peak memory, if the backend exposes it."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:  # noqa: BLE001 — stats are best-effort decoration
+        return None
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
+    # 4K-class mode: BENCH_H x BENCH_W full image (e.g. the reference's
+    # headline 6000x4000 dehazing scale, ref count_flops.py), restored
+    # either whole (BENCH_TILE unset; image padded to a /512 bucket so the
+    # latent stays compressor+score-net compatible) or via overlapping
+    # feathered tiles of BENCH_TILE px (tiling.tiled_restore)
+    full_h = int(os.environ.get("BENCH_H", "0"))
+    full_w = int(os.environ.get("BENCH_W", "0"))
+    tile = int(os.environ.get("BENCH_TILE", "0"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
@@ -75,6 +93,10 @@ def main():
         # score net is bf16-compute; halve its per-step HBM reads
         cast_params=None if os.environ.get("BENCH_NO_CAST") else jnp.bfloat16,
     )
+
+    if full_h and full_w:
+        return bench_4k(sampler, params, full_h, full_w, tile, steps, reps, label)
+
     # warm up the EXACT timed path (incl. fold_in's own first-call compile)
     for i in (1_000_001, 1_000_002):
         out = sampler(params, lq, jax.random.fold_in(key, i))
@@ -92,6 +114,54 @@ def main():
         "unit": "img/s/chip",
         "sec_per_image": round(med / batch, 3),
         "rep_spread": [round(t, 3) for t in times],
+    }))
+
+
+def bench_4k(sampler, params, full_h, full_w, tile, steps, reps, label):
+    """One 4K-class image through the latent pipeline: whole-image (padded
+    to a /512 bucket: compressor /8 then score-net /8 must both divide) or
+    feathered tiles (tiling.tiled_restore at BENCH_TILE px)."""
+    import numpy as np
+
+    from image_restoration_sde_tpu.tiling import tiled_restore
+
+    key = jax.random.PRNGKey(1)
+    lq = np.asarray(
+        jax.random.uniform(key, (1, full_h, full_w, 3), jnp.float32)
+    )
+
+    if tile:
+        tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "8"))
+        overlap = int(os.environ.get("BENCH_TILE_OVERLAP", "64"))
+        run = lambda k: tiled_restore(
+            sampler, params, lq, k, tile=tile, overlap=overlap,
+            tile_batch=tile_batch,
+        )
+        mode = f"tiled {tile}px/b{tile_batch}"
+    else:
+        mult = 512
+        ph = (mult - full_h % mult) % mult
+        pw = (mult - full_w % mult) % mult
+        padded = jnp.asarray(
+            np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        )
+        run = lambda k: np.asarray(sampler(params, padded, k))[:, :full_h, :full_w]
+        mode = "whole-image"
+
+    run(jax.random.fold_in(key, 1_000_001))  # compile + warm
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        run(jax.random.fold_in(key, i))
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    print(json.dumps({
+        "metric": f"Refusion {full_h}x{full_w} restoration ({mode}, "
+                  f"{steps}-step latent SDE, {label})",
+        "value": round(med, 2),
+        "unit": "s/image",
+        "rep_spread": [round(t, 2) for t in times],
+        "peak_hbm_gb": _peak_hbm_gb(),
     }))
 
 
