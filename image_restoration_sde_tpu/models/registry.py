@@ -27,9 +27,18 @@ def available() -> list:
 
 
 def build_network(which_model: str, setting: Dict[str, Any] | None = None, **overrides):
-    """Instantiate a registered network by its reference class name."""
+    """Instantiate a registered network by its reference class name.
+
+    YAML settings are plain scalars, so dtype-valued kwargs (``dtype``,
+    ``param_dtype``) may arrive as strings ("bfloat16") — normalized to
+    jnp dtypes here so configs can opt a net into bf16 compute."""
+    import jax.numpy as jnp
+
     setting = dict(setting or {})
     setting.update(overrides)
+    for k in ("dtype", "param_dtype"):
+        if isinstance(setting.get(k), str):
+            setting[k] = jnp.dtype(setting[k]).type
     try:
         cls = _REGISTRY[which_model]
     except KeyError:

@@ -311,6 +311,59 @@ def test_export_cli(tmp_path):
     assert header["config"] == "exp-unit"
 
 
+def test_export_cli_bf16_builds_bf16_compute_program(tmp_path):
+    """--bf16 must rebuild the score net with bf16 COMPUTE, not only precast
+    the params: flax promotes bf16 params x f32 features back to f32, so a
+    precast-only program does double the HBM traffic of the live bf16
+    operating point (measured +32%/call on TPU).  Observable in the traced
+    StableHLO: activation-shaped (batch-leading) bf16 tensors exist."""
+    import re
+
+    import yaml
+
+    cfg = {
+        "name": "exp-bf16", "model": "denoising", "distortion": "derain",
+        "gpu_ids": [0],
+        "sde": {"max_sigma": 10, "T": 3, "schedule": "cosine", "eps": 0.005,
+                "sampling_mode": "posterior"},
+        "degradation": {"sigma": 25, "noise_type": "G", "scale": 4},
+        "datasets": {},
+        "network_G": {"which_model_G": "ConditionalUNet",
+                      "setting": {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2}},
+        "path": {"root": str(tmp_path / "run")},
+    }
+    opt_path = tmp_path / "exp.yml"
+    yaml.safe_dump(cfg, open(opt_path, "w"))
+    out = tmp_path / "m_bf16.irsdex"
+
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         f"-opt={opt_path}", "--out", str(out), "--size", "16",
+         "--batch", "2", "--bf16", "--sidecar", "--check"],
+        capture_output=True, text=True, timeout=480, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "check OK" in r.stdout
+
+    from jax import export as jexport
+
+    with open(out, "rb") as f:
+        header, payload = exporting.unpack_artifact(f.read())
+    assert header["params"] == "sidecar"
+    exp = jexport.deserialize(payload[: header["export_len"]])
+    mlir = exp.mlir_module()
+    # batch-leading 4D bf16 tensors are the net's activations (params have
+    # no batch-2 leading dim at these shapes)
+    assert re.search(r"tensor<2x16x16x\d+xbf16>", mlir), (
+        "no bf16 activation tensors in the exported program — --bf16 "
+        "exported an f32-compute net"
+    )
+
+
 # ------------------------------------------------- serving micro-batching
 def _load_serve_module():
     import importlib.util

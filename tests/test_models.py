@@ -104,6 +104,20 @@ def test_registry_builds_unet():
     assert isinstance(net, ConditionalUNet) and net.nf == 8
 
 
+def test_registry_normalizes_dtype_strings():
+    # YAML settings carry dtypes as strings ("bfloat16"): the registry must
+    # hand the module a real jnp dtype so configs can opt into bf16 compute
+    net = build_network(
+        "ConditionalUNet",
+        {"in_nc": 3, "out_nc": 3, "nf": 8, "depth": 2, "dtype": "bfloat16"},
+    )
+    assert net.dtype == jnp.bfloat16
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    out = jax.jit(net.apply)(params, x, x, jnp.array([1.0]))
+    assert jnp.isfinite(out).all()
+
+
 def test_torch_import_rules_cover_all_leaves(small_unet):
     # build a synthetic torch state_dict with the exact shapes the rules
     # expect (invert each transform from the flax leaf shape), then check

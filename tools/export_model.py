@@ -65,7 +65,12 @@ def main():
     parser.add_argument("--batch", type=int, default=0, help="0 = symbolic batch dim")
     parser.add_argument("--platforms", type=str, default="cpu,tpu")
     parser.add_argument("--steps", type=int, default=0, help="override sample_T")
-    parser.add_argument("--bf16", action="store_true", help="bake bf16-cast score params")
+    parser.add_argument("--bf16", action="store_true",
+                        help="serve at the bf16 operating point: score net "
+                             "rebuilt with bf16 compute dtype AND its params "
+                             "pre-cast to bf16 (halves both the artifact and "
+                             "the per-step HBM traffic; matches the measured "
+                             "BENCH.md configuration)")
     parser.add_argument("--sidecar", action="store_true",
                         help="store weights beside the program instead of "
                              "baking them into the StableHLO (small compile "
@@ -98,6 +103,15 @@ def main():
     size = (args.size, args.size)
     params = task.state.params
 
+    net = task.net
+    if args.bf16 and getattr(net, "dtype", None) == jnp.float32:
+        # precast alone leaves the ACTIVATIONS f32 (flax promotes bf16
+        # params x f32 features back to f32): the traced program would do
+        # double the HBM traffic of the live bf16 operating point
+        # (measured +32%/call on TPU).  Rebuild the score net with bf16
+        # compute — same param pytree, so task.state.params bind as-is.
+        net = net.clone(dtype=jnp.bfloat16)
+
     if isinstance(task, BokehLatentDiffusionTask):
         raise SystemExit(
             "bokeh latent models take a per-request lens tuple; the (lq, seed) "
@@ -105,13 +119,14 @@ def main():
         )
     if isinstance(task, GaussianDenoisingTask):
         data = exporting.export_denoising_sampler(
-            task.sde, task.apply_uncond, params, size, task.sigma,
+            task.sde, lambda p, x, tvec: net.apply(p, x, None, tvec),
+            params, size, task.sigma,
             batch=batch, platforms=platforms, kernels=args.kernels,
             sidecar=args.sidecar, meta=meta,
         )
     elif isinstance(task, LatentDiffusionTask):
         data = exporting.export_latent_sampler(
-            task.sde, task.net.apply, task.encode_fn, task.decode_fn,
+            task.sde, net.apply, task.encode_fn, task.decode_fn,
             task.latent_params, params, size,
             mode=task._mode, steps=steps, batch=batch, platforms=platforms,
             kernels=args.kernels, cast_params=cast, sidecar=args.sidecar,
@@ -124,7 +139,7 @@ def main():
         if getattr(task, "stereo", False):
             in_nc *= 2
         data = exporting.export_restoration_sampler(
-            task.sde, task.net.apply, params, size,
+            task.sde, net.apply, params, size,
             mode=mode, steps=steps, channels=in_nc, batch=batch,
             platforms=platforms, kernels=args.kernels, cast_params=cast,
             sidecar=args.sidecar, meta=meta,
