@@ -61,12 +61,18 @@ def fire(addr, body, n, concurrency, timeout=600.0):
                 headers={"Content-Type": "image/png"},
             )
             t0 = time.perf_counter()
-            try:
-                with urllib.request.urlopen(req, timeout=timeout) as r:
-                    r.read()
-                lat[i] = time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001 — collect, report at the end
-                errors.append(f"req {i}: {type(e).__name__}: {e}")
+            for attempt in (0, 1):  # one retry: TCP-level resets are transient
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        r.read()
+                    lat[i] = time.perf_counter() - t0
+                    break
+                except ConnectionResetError:
+                    if attempt:
+                        errors.append(f"req {i}: ConnectionResetError (retried)")
+                except Exception as e:  # noqa: BLE001 — collect, report at the end
+                    errors.append(f"req {i}: {type(e).__name__}: {e}")
+                    break
 
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     t0 = time.perf_counter()

@@ -66,8 +66,17 @@ class MicroBatcher:
         self.max_batch = self.fixed or max(1, int(max_batch))
         self.window_s = float(window_s)
         self.q: "queue.Queue" = queue.Queue()
+        # dispatch/completion pipeline: jax dispatch is async, so the worker
+        # hands the un-synchronized device output to a completer thread and
+        # immediately collects the next batch — batch N+1 transfers+queues
+        # while batch N executes.  maxsize bounds device queue depth.
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._inflight = 0  # dispatched-but-uncompleted batches (under _lock)
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        self._completer.start()
 
     def submit(self, img: np.ndarray, seed: int) -> Future:
         fut: Future = Future()
@@ -97,20 +106,44 @@ class MicroBatcher:
                 while len(items) < self.max_batch:
                     left = deadline - time.monotonic()
                     if left <= 0:
-                        break
+                        with self._lock:
+                            busy = self._inflight > 0
+                        if not busy:
+                            break
+                        # the device is still executing the previous batch —
+                        # dispatching now would only queue a padded partial
+                        # batch behind it; collecting longer is free and keeps
+                        # batches full (throughput = full-batch rate).
+                        left = 0.002
                     try:
                         items.append(self.q.get(timeout=left))
                     except queue.Empty:
-                        break
+                        pass
             try:
                 xs = self._assemble(items)
-                out = np.asarray(self.call(jnp.asarray(xs), jnp.uint32(items[0][1])))
+                out = self.call(jnp.asarray(xs), jnp.uint32(items[0][1]))
+                with self._lock:
+                    self._inflight += 1
+                self._done_q.put((items, out))  # not yet synchronized
+            except Exception as e:  # noqa: BLE001 — fan the failure out, keep serving
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _complete(self):
+        while True:
+            items, out = self._done_q.get()
+            try:
+                out = np.asarray(out)  # blocks until the device call finishes
                 for i, (_, _, fut) in enumerate(items):
                     fut.set_result(out[i])
             except Exception as e:  # noqa: BLE001 — fan the failure out, keep serving
                 for _, _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
+                with self._lock:
+                    self._inflight -= 1
 
 
 def build_handler(call, header, *, max_batch=8, window_ms=5.0):
@@ -142,6 +175,11 @@ def build_handler(call, header, *, max_batch=8, window_ms=5.0):
         return (np.clip(out, 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
     class Handler(BaseHTTPRequestHandler):
+        # keep-alive: concurrent clients hold one connection each instead of
+        # reconnecting per request — a reconnect storm at wave boundaries
+        # overflows the TCP accept backlog and surfaces as connection resets
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet; stdout is the contract
             pass
 
@@ -220,7 +258,11 @@ def main():
     np.asarray(call(jnp.zeros((b, H, W, header.get("channels", 3)), jnp.float32),
                     jnp.uint32(0)))
 
-    srv = ThreadingHTTPServer((args.host, args.port), handler)
+    class Server(ThreadingHTTPServer):
+        daemon_threads = True
+        request_queue_size = 128  # socketserver default 5 RSTs bursty clients
+
+    srv = Server((args.host, args.port), handler)
     print(f"serving on {srv.server_address[0]}:{srv.server_address[1]}", flush=True)
     try:
         srv.serve_forever()
