@@ -69,6 +69,11 @@ def _batch_dim_sharded(lq) -> bool:
     ``lax.map`` would serialize the devices' work — but a merely
     *replicated* multi-device input (multi-host validation) still holds
     the full batch per device and must keep chunking."""
+    if isinstance(lq, jax.core.Tracer):
+        # inside an enclosing trace (e.g. tiling.tiled_restore_device wraps
+        # the sampler in its own jit): no concrete sharding to inspect, and
+        # chunking remains the right per-device behavior
+        return False
     if not (isinstance(lq, jax.Array) and hasattr(lq, "sharding")):
         return False
     sharding = lq.sharding

@@ -42,9 +42,17 @@ def perceptual_matching_loss(
 
     Parity: ref config/unet-latent/models/modules/loss.py:34-58
     (PerceptualMatchingLoss — defined upstream but the shipped code path
-    uses the plain MatchingLoss, latent_model.py:50-51).  ``lpips_fn`` is an
-    injectable host metric (the pip ``lpips`` net is torch; when absent the
-    perceptual term is skipped, matching the effective reference behavior).
+    uses the plain MatchingLoss, latent_model.py:50-51).  The reference adds
+    the per-sample lpips term to the (weighted) per-sample pixel loss before
+    the batch mean; by linearity of the mean that equals this composition
+    with a batch-mean ``lpips_fn``.
+
+    ``lpips_fn`` is injectable: pass
+    ``utils.lpips.make_perceptual_loss_fn(pth)`` for the fully in-graph,
+    differentiable LPIPS(vgg) term (weights from a user-supplied
+    ``lpips.LPIPS(net='vgg').state_dict()`` .pth — no pip package needed),
+    or any host metric.  When absent the perceptual term is skipped,
+    matching the effective reference behavior.
     """
     loss = matching_loss(predict, target, loss_type, weights)
     if lpips_fn is not None:
