@@ -250,6 +250,16 @@ def test_train_then_test_cli(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "avg over 4" in (r2.stdout + r2.stderr)
 
+    # tiled-device eval: the whole tile loop as one jitted program
+    # (tiling.tiled_restore_device via the tile_device YAML key)
+    test_cfg.update({"name": "e2e-test-tiled", "tile": 16, "tile_overlap": 4,
+                     "tile_batch": 2, "tile_device": True})
+    opt_path3 = tmp_path / "test_tiled.yml"
+    yaml.safe_dump(test_cfg, open(opt_path3, "w"))
+    r3 = _run("test.py", opt_path3)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "avg over 4" in (r3.stdout + r3.stderr)
+
 
 def test_stereo_train_validate_then_test(tmp_path):
     """Stereo SR end to end: SteLQGT data (2i/2i+1 eye pairs), the stereo

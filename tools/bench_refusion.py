@@ -133,11 +133,23 @@ def bench_4k(sampler, params, full_h, full_w, tile, steps, reps, label):
     if tile:
         tile_batch = int(os.environ.get("BENCH_TILE_BATCH", "8"))
         overlap = int(os.environ.get("BENCH_TILE_OVERLAP", "64"))
-        run = lambda k: tiled_restore(
-            sampler, params, lq, k, tile=tile, overlap=overlap,
-            tile_batch=tile_batch,
-        )
-        mode = f"tiled {tile}px/b{tile_batch}"
+        if os.environ.get("BENCH_TILE_HOST"):
+            # host tiler: one device round-trip per tile batch (~700 MB of
+            # link traffic per 6000x4000 image — dominates on thin links)
+            run = lambda k: tiled_restore(
+                sampler, params, lq, k, tile=tile, overlap=overlap,
+                tile_batch=tile_batch,
+            )
+            mode = f"tiled-host {tile}px/b{tile_batch}"
+        else:
+            from image_restoration_sde_tpu.tiling import tiled_restore_device
+
+            lq8 = np.round(np.clip(lq, 0.0, 1.0) * 255.0).astype(np.uint8)
+            run = lambda k: tiled_restore_device(
+                sampler, params, lq8, k, tile=tile, overlap=overlap,
+                tile_batch=tile_batch,
+            )
+            mode = f"tiled-device {tile}px/b{tile_batch}"
     else:
         mult = 512
         ph = (mult - full_h % mult) % mult

@@ -117,13 +117,19 @@ def main():
             tile = opt["tile"]
             if tile and hasattr(task, "sample_batch"):
                 # tiled inference for large images (one compiled tile shape)
-                from image_restoration_sde_tpu.tiling import tiled_restore
+                from image_restoration_sde_tpu.tiling import (
+                    tiled_restore,
+                    tiled_restore_device,
+                )
 
                 if "LQ" in batch:
                     lq_used = np.asarray(batch["LQ"])
                 else:
                     _, lq_used = task.infer(params, batch, jax.random.fold_in(key, i))
-                out = tiled_restore(
+                # tile_device: whole tile loop as one device program — one
+                # upload/download per image instead of per tile batch
+                tiler = tiled_restore_device if opt["tile_device"] else tiled_restore
+                out = tiler(
                     task.sample_batch, params, lq_used, jax.random.fold_in(key, i),
                     tile=int(tile), overlap=int(opt["tile_overlap"] or 64),
                     tile_batch=int(opt["tile_batch"] or 4),
