@@ -15,10 +15,22 @@ fill the chip.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Tuple
 
 import numpy as np
+
+
+def _fold_key(key, idx: int):
+    """Per-chunk PRNG key: fold the chunk index in so no two tile chunks
+    share noise draws (a shared key paints a grid-correlated noise pattern
+    across the tile lattice). ``None`` keys (deterministic samplers) pass
+    through untouched."""
+    if key is None:
+        return None
+    import jax
+
+    return jax.random.fold_in(key, idx)
 
 
 def _feather_profile(size: int, overlap: int) -> np.ndarray:
@@ -75,12 +87,12 @@ def tiled_restore(
     )
 
     outs = []
-    for i in range(0, len(coords), tile_batch):
+    for ci, i in enumerate(range(0, len(coords), tile_batch)):
         chunk = tiles[i : i + tile_batch]
         pad = tile_batch - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
-        restored = np.asarray(sample_fn(params, chunk, key))
+        restored = np.asarray(sample_fn(params, chunk, _fold_key(key, ci)))
         outs.append(restored[: tile_batch - pad] if pad else restored)
     restored_tiles = np.concatenate(outs, axis=0)
 
@@ -139,22 +151,46 @@ def tiled_restore_device(
     wx = _feather_profile(tile_w, min(overlap, tile_w // 2))
     weight2d = (wy[:, None] * wx[None, :])[..., None]  # (th, tw, 1)
 
+    import jax.numpy as jnp
+
+    run = _build_device_run(sample_fn, tile_h, tile_w, tile_batch)
+    out_uint8 = lq.dtype == np.uint8
+    return np.asarray(
+        run(params, jnp.asarray(lq), key, jnp.asarray(coords_c),
+            jnp.asarray(valid_c), jnp.asarray(weight2d), out_uint8)
+    )
+
+
+@lru_cache(maxsize=16)
+def _build_device_run(sample_fn: Callable, tile_h: int, tile_w: int,
+                      tile_batch: int):
+    """One jitted tile-loop program per (sample_fn, tile geometry).
+
+    Cached at module level so repeated calls (e.g. tools/test.py restoring a
+    directory of same-sized images) hit the SAME `jax.jit` wrapper and its
+    trace cache — a fresh wrapper per image would retrace and re-lower the
+    whole N-step tile loop every call.  Image H/W/C and the coord arrays are
+    ordinary traced arguments, so different image sizes still share the
+    wrapper (each size compiles once, as jit always does).
+    """
     import jax
     import jax.numpy as jnp
 
     @partial(jax.jit, static_argnames=("out_uint8",))
     def run(params, img, key, cds, vld, w2d, out_uint8):
+        _, H, W, C = img.shape
         x = (img.astype(jnp.float32) / 255.0) if out_uint8 else img
 
         def chunk_body(acc_norm, chunk):
             acc, norm = acc_norm
-            cd, v = chunk
+            cd, v, ci = chunk
             tiles = jax.vmap(
                 lambda c: jax.lax.dynamic_slice(
                     x[0], (c[0], c[1], 0), (tile_h, tile_w, C)
                 )
             )(cd)
-            out = sample_fn(params, tiles, key)
+            ck = key if key is None else jax.random.fold_in(key, ci)
+            out = sample_fn(params, tiles, ck)
 
             def add_one(i, an):
                 a, nrm = an
@@ -170,14 +206,13 @@ def tiled_restore_device(
             return (acc, norm), None
 
         init = (jnp.zeros((H, W, C), jnp.float32), jnp.zeros((H, W, 1), jnp.float32))
-        (acc, norm), _ = jax.lax.scan(chunk_body, init, (cds, vld))
+        n_chunks = cds.shape[0]
+        (acc, norm), _ = jax.lax.scan(
+            chunk_body, init, (cds, vld, jnp.arange(n_chunks, dtype=jnp.int32))
+        )
         out = acc / jnp.maximum(norm, 1e-8)
         if out_uint8:
             out = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         return out[None]
 
-    out_uint8 = lq.dtype == np.uint8
-    return np.asarray(
-        run(params, jnp.asarray(lq), key, jnp.asarray(coords_c),
-            jnp.asarray(valid_c), jnp.asarray(weight2d), out_uint8)
-    )
+    return run
