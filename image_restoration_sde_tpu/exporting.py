@@ -239,6 +239,7 @@ def export_denoising_sampler(
     batch: Optional[int] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
+    cast_params=None,
     sidecar: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
@@ -250,6 +251,7 @@ def export_denoising_sampler(
 
     from .sampling import make_denoising_sampler
 
+    params, cast_params = _precast(params, cast_params)
     sampler = make_denoising_sampler(sde, apply_fn, sigma)
 
     if sidecar:
@@ -301,16 +303,30 @@ def export_latent_sampler(
     platforms: Sequence[str] = ("cpu", "tpu"),
     kernels: bool = False,
     cast_params=None,
+    cond=None,
     sidecar: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Refusion artifact: compressor encode -> latent reverse SDE -> decode,
     one program with both networks' weights in one file (ref latent-dehazing
     test flow, latent_denoising_model.py test()).  ``sidecar=True`` stores
-    ``{"score": params, "latent": latent_params}`` beside the program."""
+    ``{"score": params, "latent": latent_params}`` beside the program.
+
+    ``cond``: optional pytree of python floats baked into the program as
+    per-sample conditioning constants (broadcast to the batch) — how bokeh
+    latent models export: the ``(src_lens, tgt_lens, disparity)`` tuple is
+    frozen at export time, matching the reference bokeh app's hardcoded
+    lens params (ref config/latent-bokeh/app.py:31-33)."""
     from jax import export as jexport
 
     from .training.latent import make_latent_sampler
+
+    def _cond_for(lq):
+        if cond is None:
+            return None
+        return jax.tree.map(
+            lambda v: jnp.full((lq.shape[0],), v, jnp.float32), cond
+        )
 
     params, cast_params = _precast(params, cast_params)
     sampler = make_latent_sampler(
@@ -326,10 +342,10 @@ def export_latent_sampler(
                 sde, model_apply, encode_fn, decode_fn, p["latent"],
                 mode=mode, steps=steps, cast_params=cast_params, chunk=0,
             )
-            return smp(p["score"], lq, jax.random.PRNGKey(seed))
+            return smp(p["score"], lq, jax.random.PRNGKey(seed), _cond_for(lq))
     else:
         def serve(lq, seed):
-            return sampler(params, lq, jax.random.PRNGKey(seed))
+            return sampler(params, lq, jax.random.PRNGKey(seed), _cond_for(lq))
 
     if batch is None:
         if kernels:
@@ -352,6 +368,7 @@ def export_latent_sampler(
         "n_params": int(
             sum(p.size for p in jax.tree.leaves((params, latent_params)))
         ),
+        **({"cond": jax.tree.map(float, cond)} if cond is not None else {}),
         **(meta or {}),
     }
     side = {"score": params, "latent": latent_params} if sidecar else None

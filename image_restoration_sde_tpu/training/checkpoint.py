@@ -51,7 +51,23 @@ def save_params(models_dir: str, params: Any, label: str) -> str:
     return path
 
 
-def load_params(path: str, abstract_params: Any, torch_rules: Optional[dict] = None):
+def _abstract(tree, shardings=None):
+    """Shape/dtype structs orbax restores against.  With ``shardings`` (a
+    matching pytree of ``NamedSharding``), each struct carries its target
+    sharding so orbax materializes the restored arrays DIRECTLY in that
+    layout — a tp-sharded state restores sharded (each device reads its
+    shard), and checkpoints are layout-portable: the on-disk format is the
+    global array, so a dp-only save restores into a tp mesh and vice versa."""
+    if shardings is None:
+        return jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+    return jax.tree.map(
+        lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+        tree, shardings,
+    )
+
+
+def load_params(path: str, abstract_params: Any, torch_rules: Optional[dict] = None,
+                shardings: Any = None):
     """Load weights from an orbax dir or a reference ``.pth``."""
     wait_for_checkpoints()  # a just-written checkpoint must be durable
     if path.endswith(".pth"):
@@ -62,7 +78,7 @@ def load_params(path: str, abstract_params: Any, torch_rules: Optional[dict] = N
         sd = load_torch_state_dict(path)
         return apply_rules(abstract_params, sd, torch_rules)
     return _ckptr().restore(
-        os.path.abspath(path), jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_params)
+        os.path.abspath(path), _abstract(abstract_params, shardings)
     )
 
 
@@ -75,10 +91,19 @@ def save_training_state(
     return path
 
 
-def load_training_state(path: str, abstract_state: TrainState) -> Tuple[TrainState, int, int]:
+def load_training_state(
+    path: str, abstract_state: TrainState, shardings: Any = None
+) -> Tuple[TrainState, int, int]:
+    """Restore a full trainer state (ref base_model.py:107-131 semantics).
+
+    ``shardings``: optional pytree of target ``NamedSharding``s matching
+    ``abstract_state`` (e.g. ``shape_based_tp_sharding(state, mesh)``) —
+    the restore lands directly in that layout, making checkpoints portable
+    across parallelism layouts (dp-only save -> tp restore and vice versa;
+    tested in tests/test_parallel.py)."""
     wait_for_checkpoints()
     abstract = {
-        "state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state),
+        "state": _abstract(abstract_state, shardings),
         "epoch": np.asarray(0),
         "iter": np.asarray(0),
     }

@@ -244,6 +244,15 @@ def test_serve_http_roundtrip(tmp_path):
         with urllib.request.urlopen(f"http://{addr}/health", timeout=60) as r:
             header = json.loads(r.read())
         assert header["kind"] == "restoration_sampler"
+        # micro-batching caveat is surfaced, not just docstring'd
+        assert header["serving"]["seed_reproducible"] is False
+
+        # GET / serves the live web demo (the reference's gradio app.py
+        # capability, stdlib-only): an upload form posting to /restore
+        with urllib.request.urlopen(f"http://{addr}/", timeout=60) as r:
+            page = r.read().decode()
+            assert "text/html" in r.headers["Content-Type"]
+        assert "/restore" in page and 'type="file"' in page
 
         rs = np.random.RandomState(0)
         img = (rs.rand(12, 14, 3) * 255).astype(np.uint8)  # smaller: pads
@@ -413,6 +422,60 @@ def test_micro_batcher_pow2_buckets_symbolic():
     assert calls == [8]  # 5 requests -> one bucket-8 call
 
 
+def test_micro_batcher_nonpow2_cap_is_hard():
+    """A non-pow2 --max-batch is still a hard cap: 5 pending requests pad to
+    the cap bucket (6), never round up past it to 8."""
+    serve = _load_serve_module()
+    calls = []
+
+    def fake_call(xs, seed):
+        xs = np.asarray(xs)
+        calls.append(xs.shape[0])
+        return xs
+
+    mb = serve.MicroBatcher(fake_call, fixed=None, max_batch=6, window_s=0.25)
+    futs = [mb.submit(np.zeros((2, 2, 3), np.float32), 0) for _ in range(5)]
+    for f in futs:
+        f.result(timeout=30)
+    assert calls == [6]
+
+
+def test_micro_batcher_max_wait_dispatches_partial_batch():
+    """With max_wait set, a request stuck behind a long-running device call
+    dispatches as a partial batch at the deadline instead of collecting
+    until the device frees up (the latency-bound serving mode)."""
+    import time
+
+    serve = _load_serve_module()
+    t0 = time.monotonic()
+    log = []  # (dispatch time, batch size)
+
+    class SlowOut:  # completion blocks (models jax async dispatch), call returns fast
+        def __init__(self, xs, delay):
+            self.xs, self.delay = xs, delay
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(self.delay)
+            return self.xs
+
+    def fake_call(xs, seed):
+        xs = np.asarray(xs)
+        log.append((time.monotonic() - t0, xs.shape[0]))
+        return SlowOut(xs, 0.8 if len(log) == 1 else 0.0)
+
+    mb = serve.MicroBatcher(fake_call, fixed=None, max_batch=4,
+                            window_s=0.01, max_wait_s=0.1)
+    f1 = mb.submit(np.zeros((1, 1, 3), np.float32), 0)
+    time.sleep(0.05)  # batch 1 is in flight (completer blocked ~0.8s)
+    f2 = mb.submit(np.zeros((1, 1, 3), np.float32), 0)
+    f1.result(timeout=30)
+    f2.result(timeout=30)
+    assert len(log) == 2
+    # the second dispatch happened at ~max_wait, NOT after the 0.8s call
+    assert log[1][0] - log[0][0] < 0.5, log
+    assert log[1][1] == 1  # partial batch (nothing else pending)
+
+
 def test_micro_batcher_fans_out_failures():
     serve = _load_serve_module()
 
@@ -556,3 +619,86 @@ def test_export_sidecar_latent_and_dp_mesh(tmp_path):
     call_dp, _ = exporting.load_artifact(side, mesh=mesh)
     got = np.asarray(call_dp(x, jnp.uint32(1)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_export_bokeh_latent_sampler_bakes_lens():
+    """Bokeh latent artifacts bake the lens tuple as program constants — the
+    (lq, seed) interface carries no lens, matching the reference bokeh app's
+    hardcoded lens params (ref config/latent-bokeh/app.py:31-33)."""
+    from image_restoration_sde_tpu.models.bokeh_nafnet import BokehConditionalNAFNet
+
+    comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(1, 2), embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 16, 16, 3))
+    lat_params = jax.jit(comp.init)(key, img)
+    encode_fn = lambda p, x: comp.apply(p, x, method=comp.encode)
+    decode_fn = lambda p, l, h: comp.apply(p, l, h, method=comp.decode)
+    lat, _ = encode_fn(lat_params, img)
+    score = BokehConditionalNAFNet(img_channel=4, width=8, middle_blk_num=1,
+                                   enc_blk_nums=(1,), dec_blk_nums=(1,))
+    lens1 = (jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1,)))
+    sp = jax.jit(
+        lambda k, x: score.init(k, x, x, jnp.zeros((1,)), lens_info=lens1)
+    )(key, lat)
+    # gamma residual scales init to zero, which gates the cam-modulated FFN
+    # branch off entirely — un-gate so the lens conditioning is observable
+    sp = jax.tree_util.tree_map_with_path(
+        lambda path, a: jnp.ones_like(a) if "gamma" in str(path) else a, sp
+    )
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+
+    def apply_with_lens(p, xt, cond_img, tvec, lens_tuple):
+        return score.apply(p, xt, cond_img, tvec, lens_info=lens_tuple)
+
+    lens = (18.0, 160.0, 35.0)
+    data = exporting.export_latent_sampler(
+        sde, apply_with_lens, encode_fn, decode_fn, lat_params, sp, (16, 16),
+        mode="sde", platforms=("cpu",), cond=lens,
+    )
+    call, header = exporting.load_artifact(data)
+    assert header["cond"] == [18.0, 160.0, 35.0]  # json: tuple -> list
+
+    lq = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    got = np.asarray(call(lq, jnp.uint32(5)))
+    live = make_latent_sampler(sde, apply_with_lens, encode_fn, decode_fn,
+                               lat_params, mode="sde", chunk=0)
+    cond_b = tuple(jnp.full((2,), v, jnp.float32) for v in lens)
+    with no_pallas():
+        want = live(sp, lq, jax.random.PRNGKey(jnp.uint32(5)), cond_b)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-4)
+
+    # a different lens bake changes the output — the conditioning is live
+    data2 = exporting.export_latent_sampler(
+        sde, apply_with_lens, encode_fn, decode_fn, lat_params, sp, (16, 16),
+        mode="sde", platforms=("cpu",), cond=(50.0, 18.0, 5.0),
+    )
+    call2, _ = exporting.load_artifact(data2)
+    assert np.abs(np.asarray(call2(lq, jnp.uint32(5))) - got).max() > 1e-4
+
+
+def test_export_denoising_sampler_bf16_cast():
+    """--bf16 denoising exports actually store bf16 params (the cast is
+    threaded through export_denoising_sampler, not just the help text)."""
+    from image_restoration_sde_tpu.sde.denoising_sde import DenoisingSDE
+
+    net = ConditionalNAFNet(img_channel=3, width=8, middle_blk_num=1,
+                            enc_blk_nums=(1,), dec_blk_nums=(1,),
+                            conditional=False)
+    x = jnp.zeros((1, 16, 16, 3))
+    apply_fn = lambda p, z, t: net.apply(p, z, None, t)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, None, jnp.array([1.0]))
+    sde = DenoisingSDE.create(max_sigma=50.0, T=6)
+
+    data = exporting.export_denoising_sampler(
+        sde, apply_fn, params, (16, 16), sigma=25.0, platforms=("cpu",),
+        cast_params=jnp.bfloat16, sidecar=True,
+    )
+    header, payload = exporting.unpack_artifact(data)
+    stored = exporting._deserialize_params(payload[int(header["export_len"]):])
+    dtypes = {np.asarray(l).dtype for l in jax.tree.leaves(stored)}
+    assert dtypes == {np.dtype(jnp.bfloat16)}, dtypes
+
+    call, _ = exporting.load_artifact(data)
+    noisy = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1 + 0.5
+    out = np.asarray(call(noisy, jnp.uint32(0)))
+    assert out.shape == noisy.shape and np.isfinite(out).all()

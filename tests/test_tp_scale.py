@@ -164,3 +164,61 @@ def test_dit_l_width_tp_loss_parity_and_collectives():
     print(f"TP step collectives (DiT-L width, depth 2, batch 8, 64 tokens): "
           f"{ {k: f'{v/1e6:.1f} MB' for k, v in by_kind.items()} }, "
           f"total {total_mb:.1f} MB/step")
+
+
+def test_dit_l_full_depth_tp_collective_inventory():
+    """Compile (no execute, abstract inputs — zero parameter bytes
+    materialized) the FULL depth-24 DiT-L/2 TP train step over the dp4 x tp2
+    mesh and inventory the collectives from the optimized HLO.  Pins
+    PARITY §2.8's "when TP pays" analysis on the real 457M-param program
+    instead of a depth-2 extrapolation."""
+    setting = {"patch_size": 2, "in_channels": 8, "hidden_size": 1024,
+               "depth": 24, "num_heads": 16}
+    net = build_network("DiT", setting)
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+    tx = optax.adam(1e-4)
+    step_fn = make_train_step(sde, net.apply, tx)
+
+    params_struct = jax.eval_shape(
+        lambda k: net.init(k, jnp.zeros((8, 16, 16, 8)),
+                           jnp.zeros((8, 16, 16, 8)), jnp.ones((8,))),
+        jax.random.PRNGKey(0))
+    state_struct = jax.eval_shape(lambda p: create_train_state(p, tx), params_struct)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params_struct))
+    assert n_params > 450_000_000  # the real DiT-L/2, not a stand-in
+
+    mesh = make_mesh(model_parallel=2)
+    sh = shape_based_tp_sharding(state_struct, mesh)
+    state_abs = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        state_struct, sh)
+    bsh = batch_sharding(mesh)
+    lq_abs = jax.ShapeDtypeStruct((8, 16, 16, 8), jnp.float32, sharding=bsh)
+    gt_abs = jax.ShapeDtypeStruct((8, 16, 16, 8), jnp.float32, sharding=bsh)
+    key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    compiled = jax.jit(step_fn).lower(state_abs, lq_abs, gt_abs, key_abs).compile()
+    hlo = compiled.as_text()
+    colls = re.findall(
+        r"(f32|bf16)\[([\d,]*)\][^\n]*?(all-reduce|all-gather|reduce-scatter|collective-permute)",
+        hlo)
+    assert any(c[2] == "all-reduce" for c in colls), "no all-reduce in TP HLO"
+
+    def nbytes(dt, dims):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        return n * (2 if dt == "bf16" else 4)
+
+    by_kind = {}
+    for dt, dims, kind in colls:
+        by_kind[kind] = by_kind.get(kind, 0) + nbytes(dt, dims)
+    total_mb = sum(by_kind.values()) / 1e6
+    print(f"TP step collectives (FULL DiT-L/2 depth 24, batch 8, 64 tokens): "
+          f"{ {k: f'{v/1e6:.1f} MB' for k, v in by_kind.items()} }, "
+          f"total {total_mb:.1f} MB/step")
+    # measured 2026-08: ~1394 MB/step (all-reduce 1115.5 + all-gather 239.5
+    # + permute 39.5) — ~11.3x the depth-2 program, i.e. linear in depth.
+    # Bound loosely: XLA versions shift fusion choices, not the O(depth) shape.
+    assert 500 < total_mb < 4000, total_mb

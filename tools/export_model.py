@@ -79,6 +79,12 @@ def main():
     parser.add_argument("--kernels", action="store_true",
                         help="keep pallas kernels in the artifact "
                              "(requires --batch >= gate and --platforms tpu)")
+    parser.add_argument("--lens", type=float, nargs=3, default=None,
+                        metavar=("SRC", "TGT", "DISPARITY"),
+                        help="bokeh latent models only: bake these lens "
+                             "conditioning constants into the artifact "
+                             "(default 18 160 35 — the reference bokeh "
+                             "app's hardcoded params)")
     parser.add_argument("--check", action="store_true",
                         help="reload the artifact and verify against the live sampler")
     args = parser.parse_args()
@@ -113,16 +119,28 @@ def main():
         net = net.clone(dtype=jnp.bfloat16)
 
     if isinstance(task, BokehLatentDiffusionTask):
-        raise SystemExit(
-            "bokeh latent models take a per-request lens tuple; the (lq, seed) "
-            "serving interface doesn't carry it — export not supported"
+        # the (lq, seed) serving interface has no lens tuple, so the lens
+        # conditioning is baked as export-time constants — same use case the
+        # reference bokeh app covers with hardcoded lens params
+        # (ref config/latent-bokeh/app.py:31-33)
+        lens = tuple(args.lens) if args.lens else (18.0, 160.0, 35.0)
+
+        def apply_with_lens(p, xt, cond_img, tvec, lens_tuple):
+            return net.apply(p, xt, cond_img, tvec, lens_info=lens_tuple)
+
+        data = exporting.export_latent_sampler(
+            task.sde, apply_with_lens, task.encode_fn, task.decode_fn,
+            task.latent_params, params, size,
+            mode=task._mode, steps=steps, batch=batch, platforms=platforms,
+            kernels=args.kernels, cast_params=cast, cond=lens,
+            sidecar=args.sidecar, meta=meta,
         )
-    if isinstance(task, GaussianDenoisingTask):
+    elif isinstance(task, GaussianDenoisingTask):
         data = exporting.export_denoising_sampler(
             task.sde, lambda p, x, tvec: net.apply(p, x, None, tvec),
             params, size, task.sigma,
             batch=batch, platforms=platforms, kernels=args.kernels,
-            sidecar=args.sidecar, meta=meta,
+            cast_params=cast, sidecar=args.sidecar, meta=meta,
         )
     elif isinstance(task, LatentDiffusionTask):
         data = exporting.export_latent_sampler(

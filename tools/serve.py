@@ -10,6 +10,10 @@ process (ref app.py): here the model is a sealed ``.irsdex`` artifact
                           [--max-batch 8] [--window-ms 5]
 
 Endpoints:
+- ``GET  /``                -> minimal HTML upload page (drop an image, see
+  the restoration — the live-demo capability the reference covers with its
+  gradio ``app.py``, ref config/deraining/app.py:27-38, served here by the
+  stdlib so it runs without the gradio package)
 - ``GET  /health``          -> artifact header JSON (+ serving config)
 - ``POST /restore[?seed=N]`` -> body: PNG/JPEG image; response: restored PNG.
   Inputs smaller than the artifact's traced HxW are reflect-padded and
@@ -60,11 +64,17 @@ class MicroBatcher:
     assembled batch runs once and each caller's Future gets its row.
     """
 
-    def __init__(self, call, *, fixed=None, max_batch=8, window_s=0.005):
+    def __init__(self, call, *, fixed=None, max_batch=8, window_s=0.005,
+                 max_wait_s=None):
         self.call = call
         self.fixed = int(fixed) if fixed else None
         self.max_batch = self.fixed or max(1, int(max_batch))
         self.window_s = float(window_s)
+        # latency knob: hard cap on how long a request can sit in the
+        # collection queue — when exceeded, a PARTIAL batch dispatches even
+        # while the device is busy (default None = throughput-optimal
+        # busy-aware collection, batches stay full under load)
+        self.max_wait_s = float(max_wait_s) if max_wait_s else None
         self.q: "queue.Queue" = queue.Queue()
         # dispatch/completion pipeline: jax dispatch is async, so the worker
         # hands the un-synchronized device output to a completer thread and
@@ -92,6 +102,10 @@ class MicroBatcher:
             target = 1
             while target < n:
                 target *= 2
+            # never pad past the user's cap: a non-pow2 --max-batch would
+            # otherwise round 5-6 pending requests up to batch 8 — the cap
+            # itself becomes the one extra bucket (still O(log) variants)
+            target = min(target, self.max_batch)
         if n < target:  # replica rows: no NaN paths, dtype/layout identical
             xs = np.concatenate([xs, np.repeat(xs[-1:], target - n, axis=0)])
         return xs
@@ -102,7 +116,11 @@ class MicroBatcher:
         while True:
             items = [self.q.get()]
             if self.max_batch > 1:
-                deadline = time.monotonic() + self.window_s
+                now = time.monotonic()
+                hard = None if self.max_wait_s is None else now + self.max_wait_s
+                deadline = now + self.window_s
+                if hard is not None:
+                    deadline = min(deadline, hard)
                 while len(items) < self.max_batch:
                     left = deadline - time.monotonic()
                     if left <= 0:
@@ -110,6 +128,8 @@ class MicroBatcher:
                             busy = self._inflight > 0
                         if not busy:
                             break
+                        if hard is not None and time.monotonic() >= hard:
+                            break  # latency bound: ship the partial batch
                         # the device is still executing the previous batch —
                         # dispatching now would only queue a padded partial
                         # batch behind it; collecting longer is free and keeps
@@ -146,19 +166,65 @@ class MicroBatcher:
                     self._inflight -= 1
 
 
-def build_handler(call, header, *, max_batch=8, window_ms=5.0):
+_UI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>IR-SDE restoration</title><style>
+body{font-family:system-ui,sans-serif;max-width:860px;margin:2rem auto;padding:0 1rem;color:#222}
+fieldset{border:1px solid #ccc;border-radius:8px;margin-bottom:1rem}
+.row{display:flex;gap:1rem;flex-wrap:wrap}figure{margin:0}
+img{max-width:400px;border:1px solid #ddd;border-radius:4px;display:block}
+#status{color:#666}button{padding:.4rem 1rem}</style></head><body>
+<h1>IR-SDE image restoration</h1>
+<p>Drop a degraded image; the server runs the full reverse-SDE chain on the
+exported model and returns the restoration. See <a href="/health">/health</a>
+for the artifact header.</p>
+<fieldset><legend>Input</legend>
+<input type="file" id="file" accept="image/*">
+<label>seed <input type="number" id="seed" value="0" style="width:6em"></label>
+<button id="go">Restore</button> <span id="status"></span></fieldset>
+<div class="row">
+<figure><figcaption>input</figcaption><img id="in" alt=""></figure>
+<figure><figcaption>restored</figcaption><img id="out" alt=""></figure></div>
+<script>
+const $=id=>document.getElementById(id);
+$("file").addEventListener("change",()=>{const f=$("file").files[0];
+  if(f) $("in").src=URL.createObjectURL(f);});
+$("go").addEventListener("click",async()=>{
+  const f=$("file").files[0];
+  if(!f){$("status").textContent="pick an image first";return;}
+  $("status").textContent="restoring\\u2026";$("go").disabled=true;
+  try{
+    const r=await fetch("/restore?seed="+encodeURIComponent($("seed").value||0),
+                        {method:"POST",body:f});
+    if(!r.ok){$("status").textContent="error: "+await r.text();return;}
+    $("out").src=URL.createObjectURL(await r.blob());
+    $("status").textContent="done";
+  }catch(e){$("status").textContent="error: "+e;}
+  finally{$("go").disabled=false;}
+});
+</script></body></html>"""
+
+
+def build_handler(call, header, *, max_batch=8, window_ms=5.0,
+                  max_wait_ms=None):
     H, W = header["size"]
     channels = header.get("channels", 3)
     fixed = header.get("batch")
     fixed = fixed if isinstance(fixed, int) else None
     batcher = MicroBatcher(
-        call, fixed=fixed, max_batch=max_batch, window_s=window_ms / 1000.0
+        call, fixed=fixed, max_batch=max_batch, window_s=window_ms / 1000.0,
+        max_wait_s=None if max_wait_ms is None else max_wait_ms / 1000.0,
     )
     info = dict(header)
     info["serving"] = {
         "max_batch": batcher.max_batch,
         "window_ms": float(window_ms),
+        "max_wait_ms": None if max_wait_ms is None else float(max_wait_ms),
         "fixed_batch": batcher.fixed,
+        # micro-batching caveat: the batch PRNG seed is the first rider's,
+        # and a request's noise depends on its batch position — identical
+        # request+seed is bit-reproducible only when batches are never
+        # shared (run with --max-batch 1 for a deterministic server)
+        "seed_reproducible": batcher.max_batch == 1,
     }
 
     def restore(img: np.ndarray, seed: int) -> np.ndarray:
@@ -191,7 +257,10 @@ def build_handler(call, header, *, max_batch=8, window_ms=5.0):
             self.wfile.write(body)
 
         def do_GET(self):
-            if urlparse(self.path).path != "/health":
+            path = urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                return self._send(200, _UI_HTML.encode(), "text/html; charset=utf-8")
+            if path != "/health":
                 return self._send(404, b"not found", "text/plain")
             body = json.dumps(info, sort_keys=True).encode()
             self._send(200, body, "application/json")
@@ -229,6 +298,12 @@ def main():
     parser.add_argument("--window-ms", type=float, default=5.0,
                         help="micro-batch collection window after the first "
                              "request of a batch arrives")
+    parser.add_argument("--max-wait-ms", type=float, default=None,
+                        help="hard queue-latency bound: dispatch a PARTIAL "
+                             "batch once the oldest pending request has "
+                             "waited this long, even while the device is "
+                             "busy (default: unbounded busy-aware collection "
+                             "— throughput-optimal, full batches under load)")
     args = parser.parse_args()
 
     import jax
@@ -244,7 +319,8 @@ def main():
 
     call, header = load_artifact(args.artifact)
     handler, restore = build_handler(
-        call, header, max_batch=args.max_batch, window_ms=args.window_ms
+        call, header, max_batch=args.max_batch, window_ms=args.window_ms,
+        max_wait_ms=args.max_wait_ms,
     )
 
     # warm the compiled path before accepting traffic (first jax.export call

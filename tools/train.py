@@ -173,11 +173,17 @@ def main():
 
     state = task.state
     start_epoch, current_step = 0, 0
+    target_sh = shape_based_tp_sharding(state, mesh) if tp > 1 else None
     if resume_state_path:
-        state, start_epoch, current_step = load_training_state(resume_state_path, state)
+        # restore directly into the run's parallelism layout (checkpoints
+        # are layout-portable: a dp-only save resumes a tp run and back)
+        state, start_epoch, current_step = load_training_state(
+            resume_state_path, state, shardings=target_sh
+        )
         logger.info(f"Resuming training from epoch {start_epoch}, iter {current_step}")
     if tp > 1:
-        state = shard_tree(state, shape_based_tp_sharding(state, mesh))
+        if not resume_state_path:  # a resumed state already restored sharded
+            state = shard_tree(state, target_sh)
         logger.info(
             f"Tensor parallel: mesh {dict(mesh.shape)} "
             f"(data {mesh.shape['data']} x model {mesh.shape['model']})"
