@@ -30,9 +30,16 @@ accumulators comfortably inside v5e VMEM at any batch — the stock
 jax.experimental flash kernel faulted at batch 4 there (round-2 VERDICT),
 which this replaces.
 
-Backward (training) recomputes attention with the einsum reference via
-``jax.custom_vjp`` — sampling is forward-only, and train crops are small
-enough that the recompute path is fine.
+Backward (training) is a *streamed* recompute: the VJP differentiates a
+q-blocked, per-block-rematerialized attention (``_blocked_mha``) — a
+reverse ``lax.scan`` over q blocks that recomputes each block's scores
+(O(bq x N), never the full N x N), emits that block's dq, and carries the
+dk/dv accumulators in f32.  Below ``_BLOCKED_BWD_MIN_N`` tokens the plain
+einsum recompute is used (cheaper to fuse at reference train crops).
+This makes DiT trainable at the >=2048-token counts the forward kernel
+targets (ref DiT_arch.py:186-308 trains in the latent-dehazing task);
+grad parity vs the einsum reference is pinned at 2048 tokens in
+tests/test_ops.py.
 """
 
 from __future__ import annotations
@@ -142,6 +149,29 @@ def _ref_mha(q, k, v, scale):
     ).astype(q.dtype)
 
 
+# token count from which the backward streams q blocks instead of
+# materializing the full (H, N, N) score tensor in the recompute
+_BLOCKED_BWD_MIN_N = 2048
+
+
+def _blocked_mha(q, k, v, scale, bq=512):
+    """Same math as ``_ref_mha``, evaluated per q block with the block
+    checkpointed.  Differentiating this IS the streamed flash backward:
+    the ``lax.map`` transposes to a reverse scan whose steps recompute one
+    block's (bq x N) scores, emit that block's dq, and add into carried
+    f32 dk/dv accumulators — peak memory O(bq x N) per head, never N^2."""
+    B, N, H, D = q.shape
+    bq = _pick_block(N, bq) or N
+    qs = jnp.moveaxis(q.reshape(B, N // bq, bq, H, D), 1, 0)
+
+    @jax.checkpoint
+    def one_block(qi):
+        return _ref_mha(qi, k, v, scale)
+
+    out = jax.lax.map(one_block, qs)
+    return jnp.moveaxis(out, 0, 1).reshape(B, N, H, D)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_mha(q, k, v, scale, interpret=False):
     """(B, N, H, D) attention, softmax over the second N.  O(N) memory."""
@@ -154,7 +184,9 @@ def _fwd(q, k, v, scale, interpret):
 
 def _bwd(scale, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _ref_mha(a, b, c, scale), q, k, v)
+    N = q.shape[1]
+    ref = _blocked_mha if N >= _BLOCKED_BWD_MIN_N else _ref_mha
+    _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, scale), q, k, v)
     return vjp(g)
 
 

@@ -85,6 +85,7 @@ def make_latent_train_step(
     weight: float = 1.0,
     ema_cfg: EmaConfig = EmaConfig(),
     ema_enabled: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """(state, lq, gt, key[, cond]) -> (state, metrics): diffusion on latents.
 
@@ -96,8 +97,12 @@ def make_latent_train_step(
     lens tuple flows through here (ref latent-bokeh
     latent_denoising_model.py:161-174 passes lens_info via sde.noise_fn).
     ``ema_enabled=False`` reproduces the bokeh variant, whose reference
-    comments the EMA update out.
+    comments the EMA update out.  ``remat=True`` rematerializes the score
+    net's forward in the backward pass (HBM for FLOPs — the 1024px-crop
+    recipe's memory lever; the frozen encode holds no gradient state).
     """
+    if remat:
+        model_apply = jax.checkpoint(model_apply)
     frozen = jax.lax.stop_gradient(latent_params)
 
     def train_step(state: TrainState, lq, gt, key, cond=None):

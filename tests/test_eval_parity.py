@@ -105,3 +105,22 @@ def test_harness_reports_lpips_with_pth(assets, capsys, tmp_path):
     lpips_line = [l for l in out.splitlines() if l.startswith("LPIPS")][0]
     val = lpips_line.split()[1]
     assert val != "n/a" and float(val) >= 0.0
+
+
+def test_harness_reports_fid_with_pth(assets, capsys, tmp_path):
+    """--fid-pth drives the in-repo JAX FID (utils/fid.py): the FID row must
+    carry a real number — the harness then prints all four published
+    Rain100H metrics column-for-column (ref README.md:46)."""
+    from test_fid import _random_state_dict
+
+    root, setting, pth = assets
+    fid_npz = tmp_path / "fid_inception.npz"
+    np.savez(str(fid_npz),
+             **{k: v.numpy() for k, v in _random_state_dict().items()})
+    rc = _run(root, setting, pth,
+              ["--target-psnr", "3.0", "--fid-pth", str(fid_npz)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    fid_line = [l for l in out.splitlines() if l.startswith("FID")][0]
+    val = fid_line.split()[1]
+    assert val != "n/a" and np.isfinite(float(val))

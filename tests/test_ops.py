@@ -273,3 +273,37 @@ def test_flash_mha_head_packing_variants():
         sc = float(jnp.max(jnp.abs(ref))) + 1e-30
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))) / sc
         assert err < tol, (H, D, dtype, err)
+
+
+def test_flash_streamed_backward_grad_parity_2048():
+    """At >=2048 tokens flash_mha's VJP switches to the q-blocked streamed
+    backward (reverse scan, per-block recompute, O(bq x N) memory): grads
+    for q, k, AND v must match the full einsum reference."""
+    from image_restoration_sde_tpu.ops import flash_attention as fa
+    from image_restoration_sde_tpu.ops.flash_attention import _ref_mha, flash_mha
+
+    B, N, H, D = 1, 2048, 2, 64
+    assert N >= fa._BLOCKED_BWD_MIN_N  # the streamed path is engaged
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(kq, (B, N, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, N, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, N, H, D), jnp.float32)
+    scale = D**-0.5
+
+    # the blocked evaluation is the same function value...
+    out_blk = jax.jit(lambda a, b, c: fa._blocked_mha(a, b, c, scale))(q, k, v)
+    out_ref = _ref_mha(q, k, v, scale)
+    sc = float(jnp.max(jnp.abs(out_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(out_blk - out_ref))) / sc < 1e-5
+
+    # ...and the custom_vjp built on it gives the reference's gradients
+    def loss(fn):
+        return lambda a, b, c: jnp.sum(fn(a, b, c) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss(lambda a, b, c: _ref_mha(a, b, c, scale)),
+                             argnums=(0, 1, 2)))(q, k, v)
+    g_got = jax.jit(jax.grad(loss(lambda a, b, c: flash_mha(a, b, c, scale, True)),
+                             argnums=(0, 1, 2)))(q, k, v)
+    for name, gr, gg in zip("qkv", g_ref, g_got):
+        m = float(jnp.max(jnp.abs(gr))) + 1e-30
+        assert float(jnp.max(jnp.abs(gg - gr))) / m < 1e-5, name

@@ -57,7 +57,7 @@ from image_restoration_sde_tpu.training.checkpoint import load_params
 from image_restoration_sde_tpu.utils import metrics, tensor2img
 
 # Published reference results on Rain100H (ref README.md:42-51)
-REFERENCE_TARGETS = {"psnr": 31.65, "ssim": 0.9041, "lpips": 0.047}
+REFERENCE_TARGETS = {"psnr": 31.65, "ssim": 0.9041, "lpips": 0.047, "fid": 18.64}
 
 
 def try_lpips():
@@ -103,12 +103,19 @@ def parse_args(argv=None):
         help="lpips.LPIPS(net='alex') full state_dict .pth for the in-repo "
              "JAX LPIPS (utils/lpips.py); also via IRSDE_LPIPS_PTH. Falls "
              "back to the lpips pip package if installed.")
+    p.add_argument(
+        "--fid-pth", default=None,
+        help="InceptionV3 state_dict .pth/.npz (pytorch-fid or torchvision "
+             "naming) for the in-repo JAX FID (utils/fid.py); also via "
+             "IRSDE_FID_PTH — completes the published Rain100H metric "
+             "table (ref README.md:46).")
     p.add_argument("--crop-border", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-dir", help="also save restored PNGs here")
     p.add_argument("--target-psnr", type=float, default=REFERENCE_TARGETS["psnr"])
     p.add_argument("--target-ssim", type=float, default=REFERENCE_TARGETS["ssim"])
     p.add_argument("--target-lpips", type=float, default=REFERENCE_TARGETS["lpips"])
+    p.add_argument("--target-fid", type=float, default=REFERENCE_TARGETS["fid"])
     p.add_argument("--tolerance", type=float, default=0.1,
                    help="max allowed PSNR shortfall in dB before exiting nonzero")
     return p.parse_args(argv)
@@ -146,9 +153,11 @@ def main(argv=None) -> int:
         cast_params=dtype if dtype == jnp.bfloat16 else None,
     )
     key = jax.random.PRNGKey(args.seed)
+    from image_restoration_sde_tpu.utils.fid import fid_metric_from_env_or_arg
     from image_restoration_sde_tpu.utils.lpips import lpips_fn_from_env_or_arg
 
     lpips_fn = lpips_fn_from_env_or_arg(args.lpips_pth) or try_lpips()
+    fid_metric = fid_metric_from_env_or_arg(args.fid_pth)
 
     sums = dict(psnr=0.0, ssim=0.0, psnr_y=0.0, ssim_y=0.0, lpips=0.0, time=0.0)
     n, n_lpips = 0, 0
@@ -174,6 +183,8 @@ def main(argv=None) -> int:
         psnr_y = metrics.calculate_psnr(oy, gy)
         ssim_y = metrics.calculate_ssim(oy, gy)
         lscore = lpips_fn(oc, gc) if lpips_fn else None
+        if fid_metric:
+            fid_metric.update(oc, gc)
         sums["psnr"] += psnr
         sums["ssim"] += ssim
         sums["psnr_y"] += psnr_y
@@ -200,6 +211,9 @@ def main(argv=None) -> int:
     print(f"{'SSIM':8s} {avg['ssim']:16.4f} {args.target_ssim:11.4f}")
     lp_avg = f"{avg['lpips']:.4f}" if avg["lpips"] is not None else "n/a"
     print(f"{'LPIPS':8s} {lp_avg:>16s} {args.target_lpips:11.4f}")
+    fid_val = (f"{fid_metric.result():.4f}"
+               if fid_metric and fid_metric.out_stats.n >= 2 else "n/a")
+    print(f"{'FID':8s} {fid_val:>16s} {args.target_fid:11.4f}")
     print(f"{'PSNR-Y':8s} {avg['psnr_y']:16.4f} {'-':>11s}")
     print(f"{'SSIM-Y':8s} {avg['ssim_y']:16.4f} {'-':>11s}")
     print(f"time/img {avg['time']:.3f}s")

@@ -68,6 +68,11 @@ def main():
         help="lpips.LPIPS(net='alex') full state_dict .pth for the in-repo "
              "JAX LPIPS (utils/lpips.py); also via IRSDE_LPIPS_PTH. Falls "
              "back to the lpips pip package if installed.")
+    parser.add_argument(
+        "--fid-pth", default=None,
+        help="InceptionV3 state_dict .pth/.npz (pytorch-fid or torchvision "
+             "naming) for the in-repo JAX FID (utils/fid.py); also via "
+             "IRSDE_FID_PTH. FID is reported per test set.")
     args = parser.parse_args()
     opt = options.dict_to_nonedict(options.parse(args.opt, is_train=False))
 
@@ -92,9 +97,11 @@ def main():
     task.maybe_load_pretrained(resume=False)
     params = task.state.params
 
+    from image_restoration_sde_tpu.utils.fid import fid_metric_from_env_or_arg
     from image_restoration_sde_tpu.utils.lpips import lpips_fn_from_env_or_arg
 
     lpips_fn = lpips_fn_from_env_or_arg(args.lpips_pth) or try_lpips()
+    fid_metric = fid_metric_from_env_or_arg(args.fid_pth)
     suffix = opt["suffix"] or ""
 
     for phase, dataset_opt in opt["datasets"].items():
@@ -108,6 +115,8 @@ def main():
 
         sums = dict(psnr=0.0, ssim=0.0, psnr_y=0.0, ssim_y=0.0, lpips=0.0, time=0.0)
         n, n_lpips = 0, 0
+        if fid_metric:
+            fid_metric.reset()  # FID is per test set
         for i, batch in enumerate(test_loader):
             has_gt = "GT" in batch
             path_key = "LQ_path" if "LQ_path" in batch else "GT_path"
@@ -163,6 +172,8 @@ def main():
                 psnr = ssim = psnr_y = ssim_y = 0.0
                 lp = 0.0 if lpips_fn else None
                 for (_, o), (_, g) in eyes:
+                    if fid_metric:
+                        fid_metric.update(o, g)
                     psnr += metrics.calculate_psnr(o, g) / len(eyes)
                     ssim += metrics.calculate_ssim(o, g) / len(eyes)
                     oy = rgb2ycbcr(o.astype(np.float64) / 255.0, only_y=True) * 255
@@ -190,10 +201,13 @@ def main():
 
         if n:
             lp_avg = f"{sums['lpips']/n_lpips:.4f}" if n_lpips else "n/a"
+            fid_str = ""
+            if fid_metric and fid_metric.out_stats.n >= 2:
+                fid_str = f" FID {fid_metric.result():.4f}"
             logger.info(
                 f"--- [{name}] avg over {n}: PSNR {sums['psnr']/n:.4f} SSIM {sums['ssim']/n:.4f} "
                 f"PSNR-Y {sums['psnr_y']/n:.4f} SSIM-Y {sums['ssim_y']/n:.4f} "
-                f"LPIPS {lp_avg} time/img {sums['time']/n:.3f}s"
+                f"LPIPS {lp_avg}{fid_str} time/img {sums['time']/n:.3f}s"
             )
 
         if os.environ.get("IRSDE_LOG_HBM"):
