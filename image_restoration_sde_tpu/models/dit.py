@@ -64,8 +64,9 @@ class MHA(nn.Module):
             # — scores stay in VMEM instead of materializing B*H*N^2 in HBM.
             # Default at >=2048 tokens; IRSDE_DIT_FLASH=0 opts out.  (The
             # stock jax.experimental kernel this replaces faulted at batch 4
-            # on v5e and was only ~2% faster.)  Backward recomputes via the
-            # einsum reference, so training still works through this path.
+            # on v5e and was only ~2% faster.)  Backward streams q blocks
+            # (O(bq*N) recompute, never N^2), so training scales to the same
+            # token counts as the forward.
             from ..ops.flash_attention import flash_mha
 
             out = flash_mha(q, k, v, dh**-0.5)

@@ -161,6 +161,15 @@ def bench_4k(sampler, params, full_h, full_w, tile, steps, reps, label):
         mode = "whole-image"
 
     run(jax.random.fold_in(key, 1_000_001))  # compile + warm
+
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        from image_restoration_sde_tpu.utils import profiling
+
+        with profiling.trace(trace_dir):
+            run(jax.random.fold_in(key, 1_000_002))
+        print(f"# trace: python tools/trace_summary.py {trace_dir}", file=sys.stderr)
+
     times = []
     for i in range(reps):
         t0 = time.perf_counter()

@@ -95,6 +95,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=16)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--window-ms", type=float, default=5.0)
+    parser.add_argument("--max-wait-ms", type=float, default=None,
+                        help="forwarded to serve.py: hard queue-latency "
+                             "bound (partial-batch dispatch)")
     args = parser.parse_args()
     if not args.artifact and not args.addr:
         parser.error("--artifact or --addr required")
@@ -106,11 +109,14 @@ def main():
         else:
             env = dict(os.environ)
             env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            cmd = [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+                   "--artifact", args.artifact, "--port", "0",
+                   "--max-batch", str(args.max_batch),
+                   "--window-ms", str(args.window_ms)]
+            if args.max_wait_ms is not None:
+                cmd += ["--max-wait-ms", str(args.max_wait_ms)]
             proc = subprocess.Popen(
-                [sys.executable, os.path.join(REPO, "tools", "serve.py"),
-                 "--artifact", args.artifact, "--port", "0",
-                 "--max-batch", str(args.max_batch),
-                 "--window-ms", str(args.window_ms)],
+                cmd,
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
             )
             line = proc.stdout.readline()  # blocks until warmed + bound

@@ -82,8 +82,13 @@ def _build_refusion(batch, size, remat, key, pipe):
         step_fn = make_train_step(sde, net.apply, tx, remat=remat)
         name = f"Refusion NAFNet w64 enc[1,1,1,28] bf16, {lat}^2x8 latents"
         return step_fn, params, tx, lq, gt, name
-    # full pipeline: frozen compressor encode of pixel crops + latent step
-    comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(4, 8, 8, 16), embed_dim=8)
+    # full pipeline: frozen compressor encode of pixel crops + latent step.
+    # BENCH_COMP_DTYPE=bfloat16 opts the frozen encode into bf16 (the YAML
+    # lever is `network_L.setting.dtype: bfloat16`); default f32 matches
+    # the reference configs.
+    comp_dtype = jnp.dtype(os.environ.get("BENCH_COMP_DTYPE", "float32")).type
+    comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(4, 8, 8, 16), embed_dim=8,
+                dtype=comp_dtype)
     img = jax.random.uniform(key, (1, size, size, 3), jnp.float32)
     lat_params = jax.jit(comp.init)(key, img)
     encode_fn = lambda p, x: comp.apply(p, x, method=comp.encode)
