@@ -53,8 +53,10 @@ class BokehNAFBlock(nn.Module):
         x = x * _conv(dw // 2, 1, "sca_conv", dtype=dtype)(pooled)
         x = _conv(c, 1, "conv3", dtype=dtype)(x)
 
+        # f32 params, block-dtype multiply: keeps a bf16 net's residual
+        # stream bf16 (see models/nafnet.py NAFBlock)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
-        y = inp + x * beta
+        y = inp + x * beta.astype(dtype)
 
         x = ChannelLayerNorm(c, dtype=dtype, name="norm2")(y)
         x = x * (t_scale_ffn + 1.0) + t_shift_ffn
@@ -64,7 +66,7 @@ class BokehNAFBlock(nn.Module):
         x = _conv(c, 1, "conv5", dtype=dtype)(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,), jnp.float32)
-        return y + x * gamma
+        return y + x * gamma.astype(dtype)
 
 
 class BokehConditionalNAFNet(nn.Module):

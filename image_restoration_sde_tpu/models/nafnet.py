@@ -95,8 +95,13 @@ class NAFBlock(nn.Module):
         x = x * _conv(dw // 2, 1, "sca_conv", dtype=dtype)(pooled)
         x = _conv(c, 1, "conv3", dtype=dtype)(x)
 
+        # beta/gamma are f32 PARAMS but multiply in the block dtype: an f32
+        # scale would promote the whole residual stream to f32 — for bf16
+        # nets that doubles the per-block HBM traffic AND saves every
+        # residual twice (bf16+f32) for backward; measured as the top cost
+        # of the Refusion latent train step (BENCH.md round 5)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
-        y = inp + x * beta
+        y = inp + x * beta.astype(dtype)
 
         x = ChannelLayerNorm(c, dtype=dtype, name="norm2")(y)
         x = x * (scale_ffn + 1.0) + shift_ffn
@@ -105,7 +110,7 @@ class NAFBlock(nn.Module):
         x = _conv(c, 1, "conv5", dtype=dtype)(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,), jnp.float32)
-        return y + x * gamma
+        return y + x * gamma.astype(dtype)
 
 
 class ConditionalNAFNet(nn.Module):

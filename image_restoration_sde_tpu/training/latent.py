@@ -107,10 +107,11 @@ def make_latent_train_step(
 
     def train_step(state: TrainState, lq, gt, key, cond=None):
         key = jax.random.fold_in(key, state.step)
-        latent_lq, _ = encode_fn(frozen, lq)
-        latent_gt, _ = encode_fn(frozen, gt)
-        latent_lq = jax.lax.stop_gradient(latent_lq)
-        latent_gt = jax.lax.stop_gradient(latent_gt)
+        # one 2B-batch encode instead of two B-batch calls: the frozen
+        # compressor's convs run at double the batch (better MXU fill at
+        # the recipe's small per-step batches), same math
+        lat, _ = encode_fn(frozen, jnp.concatenate([lq, gt], axis=0))
+        latent_lq, latent_gt = jnp.split(jax.lax.stop_gradient(lat), 2, axis=0)
         timesteps, xt = sde.generate_random_states(key, latent_gt, latent_lq)
         tvec = timesteps.reshape(-1)
 
