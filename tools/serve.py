@@ -302,8 +302,13 @@ def main():
                         help="hard queue-latency bound: dispatch a PARTIAL "
                              "batch once the oldest pending request has "
                              "waited this long, even while the device is "
-                             "busy (default: unbounded busy-aware collection "
-                             "— throughput-optimal, full batches under load)")
+                             "busy. Set it when expected concurrency is "
+                             "BELOW the batch size (measured +14%% req/s "
+                             "AND -14%% p50 at concurrency 8 / batch 8); "
+                             "leave unset under saturating load, where "
+                             "partial batches cost full program calls "
+                             "(BENCH.md). Default: unbounded busy-aware "
+                             "collection — throughput-optimal when loaded.")
     args = parser.parse_args()
 
     import jax
