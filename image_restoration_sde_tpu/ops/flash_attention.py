@@ -154,14 +154,24 @@ def _ref_mha(q, k, v, scale):
 _BLOCKED_BWD_MIN_N = 2048
 
 
-def _blocked_mha(q, k, v, scale, bq=512):
+def _bwd_bq() -> int:
+    """q-block size of the streamed backward (``IRSDE_FLASH_BWD_BQ``).
+    512 measured best on v5e at 4096 tokens (197 ms/step vs 238 at 1024
+    and slower still at 2048 — bigger blocks raise the per-step f32
+    transient past the fast-memory sweet spot without adding MXU fill)."""
+    import os
+
+    return int(os.environ.get("IRSDE_FLASH_BWD_BQ", "512"))
+
+
+def _blocked_mha(q, k, v, scale, bq=None):
     """Same math as ``_ref_mha``, evaluated per q block with the block
     checkpointed.  Differentiating this IS the streamed flash backward:
     the ``lax.map`` transposes to a reverse scan whose steps recompute one
     block's (bq x N) scores, emit that block's dq, and add into carried
     f32 dk/dv accumulators — peak memory O(bq x N) per head, never N^2."""
     B, N, H, D = q.shape
-    bq = _pick_block(N, bq) or N
+    bq = _pick_block(N, bq if bq is not None else _bwd_bq()) or N
     qs = jnp.moveaxis(q.reshape(B, N // bq, bq, H, D), 1, 0)
 
     @jax.checkpoint
