@@ -384,3 +384,46 @@ def test_checkpoint_resume_exactness(tiny_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(state.ema.params), jax.tree.leaves(restored.ema.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latent_task_bf16_compressor_yaml_lever():
+    """``network_L.setting.dtype: bfloat16`` (the YAML string form) builds a
+    bf16-compute frozen compressor and the latent task trains/samples finite
+    — the config lever behind the measured full-pipeline speedup (BENCH.md
+    round 5)."""
+    from image_restoration_sde_tpu.runners import build_task
+    from image_restoration_sde_tpu.utils.options import dict_to_nonedict
+
+    opt = dict_to_nonedict({
+        "model": "latent_denoising", "distortion": "dehazing", "is_train": True,
+        "sde": {"max_sigma": 50, "T": 4, "schedule": "cosine", "eps": 0.005},
+        "degradation": {},
+        "datasets": {"train": {"mode": "LQGT", "GT_size": 16, "batch_size": 2}},
+        "network_G": {"which_model": "ConditionalNAFNet",
+                      "setting": {"img_channel": 4, "width": 8,
+                                  "enc_blk_nums": [1, 1], "middle_blk_num": 1,
+                                  "dec_blk_nums": [1, 1], "dtype": "bfloat16"}},
+        "network_L": {"which_model": "UNet",
+                      "setting": {"in_ch": 3, "out_ch": 3, "ch": 4,
+                                  "ch_mult": [1, 2], "embed_dim": 4,
+                                  "dtype": "bfloat16"}},
+        "path": {},
+        "train": {"lr_G": 1e-3, "lr_scheme": "MultiStepLR", "lr_steps": [],
+                  "optimizer": "Lion", "beta1": 0.9, "beta2": 0.99},
+    })
+    mesh = make_mesh()
+    task = build_task(opt, mesh, seed=0, base_key=jax.random.PRNGKey(0))
+    assert task.latent_net.dtype == jnp.bfloat16
+    assert task.net.dtype == jnp.bfloat16
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "LQ": rs.rand(8, 16, 16, 3).astype(np.float32),
+        "GT": rs.rand(8, 16, 16, 3).astype(np.float32),
+    }
+    state = task.state
+    for _ in range(2):
+        state, metrics = task.step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    out, _ = task.infer(state.params, batch, jax.random.PRNGKey(2))
+    assert out.shape == (8, 16, 16, 3) and np.isfinite(out).all()
