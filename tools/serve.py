@@ -26,10 +26,11 @@ batch-8 TPU operating point (BENCH.md) is reached under serving load, and it
 is *required* for fixed-batch artifacts (``--batch N`` exports), whose program
 only accepts exactly N images.  Fixed-batch artifacts are padded with replica
 rows when the window closes short; symbolic-batch artifacts round the batch
-up to the next power of two so at most log2(max_batch)+1 program variants
-ever compile.  The batch's PRNG seed is the first request's ``seed`` (each
-image still draws distinct noise by batch position); per-request seed is
-exactly reproducible only at concurrency 1.
+up to the next power of two CLAMPED to ``--max-batch`` (the cap is hard, and
+at most log2(max_batch)+2 program variants ever compile).  The batch's PRNG
+seed is the first request's ``seed`` (each image still draws distinct noise
+by batch position); per-request seed is exactly reproducible only with
+``--max-batch 1`` (surfaced as ``serving.seed_reproducible`` in /health).
 
 ``--port 0`` binds an ephemeral port; the bound port is printed as
 ``serving on <host>:<port>`` (machine-parsable, used by the tests).
