@@ -59,13 +59,15 @@ class _Base:
         return res
 
     def _read(self, root_key: str, paths, sizes, index: int) -> np.ndarray:
+        # uint8 until after the crop/augment: converting full-size HR
+        # sources to f32 before cropping dominated the loader (io_utils)
         if self.data_type == "lmdb":
             env = self._envs.get(root_key)
             if env is None:
                 env = self._envs[root_key] = io_utils.open_lmdb(self.opt[root_key])
             size = [int(s) for s in sizes[index].split("_")]
-            return io_utils.read_img_lmdb(env, paths[index], size)
-        return io_utils.read_img(paths[index])
+            return io_utils.read_img_lmdb_uint8(env, paths[index], size)
+        return io_utils.read_img_uint8(paths[index])
 
     def rng(self, index: int) -> np.random.Generator:
         # per-sample deterministic stream: seed + epoch-folded index is set
@@ -116,6 +118,9 @@ class LQGTDataset(_Base):
             img_LQ = self._read("dataroot_LQ", self.LQ_paths, self.LQ_sizes, index)
             LQ_path = self.LQ_paths[index]
         else:
+            # on-the-fly matlab downscale needs float math (full-size by
+            # construction — the resize consumes every source pixel)
+            img_GT = io_utils.to_float01(img_GT)
             img_LQ = imresize(img_GT, 1.0 / self.scale, antialias=True)
             if img_LQ.ndim == 2:
                 img_LQ = img_LQ[:, :, None]
@@ -140,12 +145,13 @@ class LQGTDataset(_Base):
             )
 
         if opt.get("color"):
+            img_LQ, img_GT = io_utils.to_float01(img_LQ), io_utils.to_float01(img_GT)
             img_LQ = transforms.channel_convert(img_LQ.shape[2], opt["color"], [img_LQ])[0]
             img_GT = transforms.channel_convert(img_GT.shape[2], opt["color"], [img_GT])[0]
 
         return {
-            "LQ": np.ascontiguousarray(img_LQ, dtype=np.float32),
-            "GT": np.ascontiguousarray(img_GT, dtype=np.float32),
+            "LQ": io_utils.to_float01(img_LQ),
+            "GT": io_utils.to_float01(img_GT),
             "LQ_path": LQ_path,
             "GT_path": self.GT_paths[index],
         }
@@ -175,9 +181,10 @@ class GTDataset(_Base):
                 [img_GT], bool(opt.get("use_flip")), bool(opt.get("use_rot")), False, rng
             )[0]
         if opt.get("color"):
-            img_GT = transforms.channel_convert(img_GT.shape[2], opt["color"], [img_GT])[0]
+            img_GT = transforms.channel_convert(
+                img_GT.shape[2], opt["color"], [io_utils.to_float01(img_GT)])[0]
         return {
-            "GT": np.ascontiguousarray(img_GT, dtype=np.float32),
+            "GT": io_utils.to_float01(img_GT),
             "GT_path": self.GT_paths[index],
         }
 
@@ -199,8 +206,9 @@ class LQDataset(_Base):
     def __getitem__(self, index: int) -> Dict[str, Any]:
         img_LQ = self._read("dataroot_LQ", self.LQ_paths, self.LQ_sizes, index)
         if self.opt.get("color"):
-            img_LQ = transforms.channel_convert(img_LQ.shape[2], self.opt["color"], [img_LQ])[0]
+            img_LQ = transforms.channel_convert(
+                img_LQ.shape[2], self.opt["color"], [io_utils.to_float01(img_LQ)])[0]
         return {
-            "LQ": np.ascontiguousarray(img_LQ, dtype=np.float32),
+            "LQ": io_utils.to_float01(img_LQ),
             "LQ_path": self.LQ_paths[index],
         }

@@ -12,7 +12,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from . import transforms
+from . import io_utils, transforms
 from .datasets import _Base
 
 
@@ -67,8 +67,8 @@ class StereoLQGTDataset(_Base):
         img_GT = np.concatenate([gl, gr], axis=2)
         img_LQ = np.concatenate([ll, lr], axis=2)
         return {
-            "LQ": np.ascontiguousarray(img_LQ, dtype=np.float32),
-            "GT": np.ascontiguousarray(img_GT, dtype=np.float32),
+            "LQ": io_utils.to_float01(img_LQ),
+            "GT": io_utils.to_float01(img_GT),
             "LQ_path": self.LQ_paths[index * 2],
             "GT_path": self.GT_paths[index * 2],
         }
@@ -93,6 +93,6 @@ class StereoLQDataset(_Base):
         lr = self._read("dataroot_LQ", self.LQ_paths, self.LQ_sizes, index * 2 + 1)
         img_LQ = np.concatenate([ll, lr], axis=2)
         return {
-            "LQ": np.ascontiguousarray(img_LQ, dtype=np.float32),
+            "LQ": io_utils.to_float01(img_LQ),
             "LQ_path": self.LQ_paths[index * 2],
         }
