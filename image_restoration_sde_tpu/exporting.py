@@ -84,6 +84,23 @@ def _deserialize_params(blob: bytes):
 
 
 # ------------------------------------------------------------------ export
+def _seed_to_key(per_sample: bool):
+    """Seed-input -> PRNG key(s) for the exported serve fn.  Scalar seeds
+    derive ONE key for the whole batch (each image still draws distinct
+    noise by batch position); a per-sample ``(b,)`` seed vector derives a
+    key PER SAMPLE (sde/rng.py), making each output row a function of its
+    own (image, seed) only — bit-reproducible micro-batched serving."""
+    if per_sample:
+        from .sde.rng import keys_for_seeds
+
+        return keys_for_seeds
+    return jax.random.PRNGKey
+
+
+def _seed_spec(per_sample: bool, b):
+    return jax.ShapeDtypeStruct((b,) if per_sample else (), jnp.uint32)
+
+
 def _precast(params, cast_params):
     """Apply the cast-params optimization HOST-SIDE before baking: a cast
     inside the exported program would bake the f32 constants anyway (the
@@ -176,6 +193,7 @@ def export_restoration_sampler(
     kernels: bool = False,
     cast_params=None,
     sidecar: bool = False,
+    per_sample_seed: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Bake ``params`` into a self-contained restoration-serving artifact.
@@ -187,6 +205,13 @@ def export_restoration_sampler(
     picks its own operating-point batch per request).  ``sidecar=True``
     stores the weights beside the program instead of inside it (see
     ``export_fn``) — same one-file artifact, same ``call(lq, seed)``.
+
+    ``per_sample_seed=True`` exports ``call(lq, seeds)`` with a uint32
+    ``(b,)`` seed VECTOR: sample i's noise is a function of seeds[i] ONLY
+    (per-sample key streams, sde/rng.py), so identical ``(image, seed)``
+    requests are bit-reproducible under micro-batched serving regardless
+    of batch composition or position — the network still runs batch-level
+    (kernel gates unaffected).  Header records ``seed: per_sample``.
     """
     from jax import export as jexport
 
@@ -194,13 +219,14 @@ def export_restoration_sampler(
     sampler = make_restoration_sampler(
         sde, apply_fn, mode=mode, steps=steps, chunk=0, cast_params=cast_params
     )
+    to_key = _seed_to_key(per_sample_seed)
 
     if sidecar:
         def serve(p, lq, seed):
-            return sampler(p, lq, jax.random.PRNGKey(seed))
+            return sampler(p, lq, to_key(seed))
     else:
         def serve(lq, seed):
-            return sampler(params, lq, jax.random.PRNGKey(seed))
+            return sampler(params, lq, to_key(seed))
 
     if batch is None:
         if kernels:
@@ -212,7 +238,7 @@ def export_restoration_sampler(
     H, W = size
     specs = (
         jax.ShapeDtypeStruct((b, H, W, channels), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.uint32),
+        _seed_spec(per_sample_seed, b),
     )
     info = {
         "kind": "restoration_sampler",
@@ -221,6 +247,7 @@ def export_restoration_sampler(
         "size": [H, W],
         "channels": channels,
         "batch": "symbolic" if batch is None else int(batch),
+        "seed": "per_sample" if per_sample_seed else "scalar",
         "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
         **(meta or {}),
     }
@@ -281,6 +308,7 @@ def export_denoising_sampler(
         "size": [H, W],
         "channels": channels,
         "batch": "symbolic" if batch is None else int(batch),
+        "seed": "ignored",  # deterministic reverse ODE — trivially reproducible
         "n_params": int(sum(p.size for p in jax.tree.leaves(params))),
         **(meta or {}),
     }
@@ -305,6 +333,7 @@ def export_latent_sampler(
     cast_params=None,
     cond=None,
     sidecar: bool = False,
+    per_sample_seed: bool = False,
     meta: Optional[dict] = None,
 ) -> bytes:
     """Refusion artifact: compressor encode -> latent reverse SDE -> decode,
@@ -316,7 +345,11 @@ def export_latent_sampler(
     per-sample conditioning constants (broadcast to the batch) — how bokeh
     latent models export: the ``(src_lens, tgt_lens, disparity)`` tuple is
     frozen at export time, matching the reference bokeh app's hardcoded
-    lens params (ref config/latent-bokeh/app.py:31-33)."""
+    lens params (ref config/latent-bokeh/app.py:31-33).
+
+    ``per_sample_seed``: see ``export_restoration_sampler`` — ``call(lq,
+    seeds)`` with a uint32 ``(b,)`` vector, row i reproducible from
+    seeds[i] alone."""
     from jax import export as jexport
 
     from .training.latent import make_latent_sampler
@@ -333,6 +366,7 @@ def export_latent_sampler(
         sde, model_apply, encode_fn, decode_fn, latent_params,
         mode=mode, steps=steps, cast_params=cast_params, chunk=0,
     )
+    to_key = _seed_to_key(per_sample_seed)
 
     if sidecar:
         def serve(p, lq, seed):
@@ -342,10 +376,10 @@ def export_latent_sampler(
                 sde, model_apply, encode_fn, decode_fn, p["latent"],
                 mode=mode, steps=steps, cast_params=cast_params, chunk=0,
             )
-            return smp(p["score"], lq, jax.random.PRNGKey(seed), _cond_for(lq))
+            return smp(p["score"], lq, to_key(seed), _cond_for(lq))
     else:
         def serve(lq, seed):
-            return sampler(params, lq, jax.random.PRNGKey(seed), _cond_for(lq))
+            return sampler(params, lq, to_key(seed), _cond_for(lq))
 
     if batch is None:
         if kernels:
@@ -357,7 +391,7 @@ def export_latent_sampler(
     H, W = size
     specs = (
         jax.ShapeDtypeStruct((b, H, W, 3), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.uint32),
+        _seed_spec(per_sample_seed, b),
     )
     info = {
         "kind": "latent_sampler",
@@ -365,6 +399,7 @@ def export_latent_sampler(
         "steps": int(steps if steps is not None else sde.T),
         "size": [H, W],
         "batch": "symbolic" if batch is None else int(batch),
+        "seed": "per_sample" if per_sample_seed else "scalar",
         "n_params": int(
             sum(p.size for p in jax.tree.leaves((params, latent_params)))
         ),

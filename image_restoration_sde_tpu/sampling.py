@@ -98,7 +98,11 @@ def make_restoration_sampler(
         raise ValueError(f"sampling mode {mode!r}; options: {SAMPLING_MODES}")
 
     def sample_one(params, lq, key):
-        k_init, k_chain = jax.random.split(key)
+        # key: one PRNGKey for the whole batch (production default), or a
+        # (B, 2) per-sample key batch — sample i's noise then depends only
+        # on key i, independent of batch composition and chunking (the
+        # reproducible-serving path, exporting.py per_sample_seed)
+        k_init, k_chain = samplers.split_key(key)
         noisy = sde.noise_state(k_init, lq)
 
         def noise_fn(x, mu, tvec):
@@ -118,7 +122,10 @@ def make_restoration_sampler(
         if c == B:
             return sample_one(params, lq, key)
         lqs = lq.reshape(B // c, c, *lq.shape[1:])
-        keys = jax.random.split(key, B // c)
+        if samplers.is_key_batch(key):
+            keys = key.reshape(B // c, c, *key.shape[1:])  # rows follow lqs
+        else:
+            keys = jax.random.split(key, B // c)
         out = jax.lax.map(lambda a: sample_one(params, a[0], a[1]), (lqs, keys))
         return out.reshape(B, *out.shape[2:])
 

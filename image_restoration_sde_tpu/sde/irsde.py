@@ -191,5 +191,10 @@ class IRSDE:
         return timesteps, noisy_states.astype(jnp.float32)
 
     def noise_state(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
-        """Test-time init: x + max_sigma * eps.  Ref: sde_utils.py:360-361."""
-        return x + jax.random.normal(key, x.shape, dtype=x.dtype) * self.max_sigma
+        """Test-time init: x + max_sigma * eps.  Ref: sde_utils.py:360-361.
+
+        ``key`` may be a per-sample key batch (sde.rng.is_key_batch): eps
+        for sample i then depends only on key i (reproducible serving)."""
+        from .rng import normal_like
+
+        return x + normal_like(key, x) * self.max_sigma

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from .denoising_sde import DenoisingSDE
 from .irsde import IRSDE
+from .rng import is_key_batch, normal_like, split_key  # noqa: F401 (re-export)
 
 Array = jnp.ndarray
 CondNoiseFn = Callable[[Array, Array, Array], Array]
@@ -57,7 +58,11 @@ def _maybe_all(x, states, return_all):
 def _scan_with_noise(step, x0, ts, key, noise_seq, return_all):
     """Scan ``step(x, t, z) -> x`` over ``ts``, drawing ``z`` either from the
     pre-drawn ``noise_seq`` stack (parity/reproducibility path) or from the
-    split-per-step PRNG ``key`` (production path, stream unchanged)."""
+    split-per-step PRNG ``key`` (production path, stream unchanged).
+
+    ``key`` may be a per-sample key batch (``is_key_batch``): each sample
+    then carries its own split-per-step stream, so its noise draws are
+    independent of the rest of the batch."""
     if noise_seq is not None:
         def body(x, tz):
             t, z = tz
@@ -68,8 +73,8 @@ def _scan_with_noise(step, x0, ts, key, noise_seq, return_all):
 
     def body(carry, t):
         x, key = carry
-        key, k = jax.random.split(key)
-        z = jax.random.normal(k, x.shape, x.dtype)
+        key, k = split_key(key)
+        z = normal_like(k, x)
         x = step(x, t, z)
         return (x, key), (x if return_all else None)
 

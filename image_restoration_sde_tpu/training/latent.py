@@ -162,7 +162,9 @@ def make_latent_sampler(
 
     def sample_one(params, lq, key, cond):
         latent_lq, hidden = encode_fn(latent_params, lq)
-        k_init, k_chain = jax.random.split(key)
+        # key: one PRNGKey, or a (B, 2) per-sample key batch (reproducible
+        # serving — see sde.rng / exporting.py per_sample_seed)
+        k_init, k_chain = samplers.split_key(key)
         noisy = sde.noise_state(k_init, latent_lq)
 
         def noise_fn(x, mu, tvec):
@@ -193,7 +195,10 @@ def make_latent_sampler(
         # operating point.
         reshard = lambda a: a.reshape(B // c, c, *a.shape[1:])
         lqs = reshard(lq)
-        keys = jax.random.split(key, B // c)
+        if samplers.is_key_batch(key):
+            keys = reshard(key)  # per-sample keys: rows follow lqs
+        else:
+            keys = jax.random.split(key, B // c)
         conds = None if cond is None else jax.tree_util.tree_map(reshard, cond)
         out = jax.lax.map(
             lambda a: sample_one(params, a[0], a[1], a[2]), (lqs, keys, conds)

@@ -702,3 +702,183 @@ def test_export_denoising_sampler_bf16_cast():
     noisy = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.1 + 0.5
     out = np.asarray(call(noisy, jnp.uint32(0)))
     assert out.shape == noisy.shape and np.isfinite(out).all()
+
+
+def test_export_per_sample_seed_reproducible():
+    """--per-sample-seed artifacts take a uint32 (b,) seed vector and make
+    row i a function of (lq[i], seeds[i]) ONLY: bit-identical under batch
+    permutation and across different batch sizes of the same symbolic
+    program — the property micro-batched serving reproducibility rests on
+    (a scalar-seed batch ties every row to batch position)."""
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=4, schedule="cosine", eps=0.005)
+
+    data = exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior",
+        platforms=("cpu",), per_sample_seed=True,
+    )
+    call, header = exporting.load_artifact(data)
+    assert header["seed"] == "per_sample"
+    assert "uint32[b]" in header["in_avals"][1]
+
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    seeds = jnp.array([5, 6, 7, 8], jnp.uint32)
+    out = np.asarray(call(lq, seeds))
+    # batch-position independence: permuted batch -> permuted rows, bitwise
+    perm = np.array([2, 0, 3, 1])
+    np.testing.assert_array_equal(
+        np.asarray(call(lq[perm], seeds[perm])), out[perm]
+    )
+    # batch-composition independence: the same (image, seed) pair in a
+    # DIFFERENT batch of a different size returns the same row — the noise
+    # draws are identical by construction, but a different concrete batch
+    # of the symbolic program is a separate XLA compilation (different
+    # reduction tilings), so tight, not bitwise (fixed-batch artifacts
+    # always run ONE shape and stay bitwise)
+    out2 = np.asarray(call(jnp.stack([lq[2], lq[0]]),
+                           jnp.array([7, 5], jnp.uint32)))
+    np.testing.assert_allclose(out2[0], out[2], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(out2[1], out[0], rtol=1e-5, atol=1e-4)
+    # distinct seeds on the same image give distinct stochastic samples
+    same = np.asarray(call(jnp.stack([lq[0], lq[0]]),
+                           jnp.array([5, 99], jnp.uint32)))
+    assert np.abs(same[0] - same[1]).max() > 0
+
+
+def test_latent_sampler_per_sample_keys_chunk_invariant():
+    """The live latent sampler accepts a per-sample key batch: chunked and
+    unchunked sampling then draw IDENTICAL noise (per-sample streams make
+    chunking a pure scheduling choice) and agree to XLA-recompilation
+    tolerance (chunked/unchunked and different batch sizes are separate
+    compilations with different reduction tilings — with one shared key a
+    chunked run draws entirely DIFFERENT noise, so this is the property
+    that makes chunking/batching invisible to results)."""
+    comp = UNet(in_ch=3, out_ch=3, ch=8, ch_mult=(1, 2), embed_dim=4)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 16, 16, 3))
+    lat_params = jax.jit(comp.init)(key, img)
+    encode_fn = lambda p, x: comp.apply(p, x, method=comp.encode)
+    decode_fn = lambda p, l, h: comp.apply(p, l, h, method=comp.decode)
+    lat, _ = encode_fn(lat_params, img)
+    score = ConditionalNAFNet(img_channel=4, width=8, middle_blk_num=1,
+                              enc_blk_nums=(1,), dec_blk_nums=(1,))
+    sp = jax.jit(score.init)(key, lat, lat, jnp.zeros((1,)))
+    sde = IRSDE.create(max_sigma=50.0, T=4, schedule="cosine", eps=0.005)
+
+    from image_restoration_sde_tpu.sde.rng import keys_for_seeds
+
+    lq = jax.random.uniform(jax.random.PRNGKey(3), (4, 16, 16, 3))
+    keys = keys_for_seeds(jnp.array([11, 12, 13, 14], jnp.uint32))
+    whole = make_latent_sampler(sde, score.apply, encode_fn, decode_fn,
+                                lat_params, mode="sde", chunk=0)
+    chunked = make_latent_sampler(sde, score.apply, encode_fn, decode_fn,
+                                  lat_params, mode="sde", chunk=2)
+    with no_pallas():
+        out = np.asarray(whole(sp, lq, keys))
+        out_c = np.asarray(chunked(sp, lq, keys))
+        out_pair = np.asarray(whole(
+            sp, jnp.stack([lq[3], lq[1]]),
+            keys_for_seeds(jnp.array([14, 12], jnp.uint32))))
+    np.testing.assert_allclose(out_c, out, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(out_pair[0], out[3], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(out_pair[1], out[1], rtol=1e-5, atol=1e-4)
+
+
+def test_micro_batcher_per_sample_seeds():
+    """per_sample_seed batchers hand the program each rider's OWN seed (a
+    uint32 vector, padded rows reusing the last rider's seed) instead of the
+    first rider's scalar."""
+    serve = _load_serve_module()
+    seen = []
+
+    def fake_call(xs, seeds):
+        seeds = np.asarray(seeds)
+        seen.append(seeds.copy())
+        assert seeds.shape == (np.asarray(xs).shape[0],)
+        return np.asarray(xs)
+
+    mb = serve.MicroBatcher(fake_call, fixed=4, window_s=0.25,
+                            per_sample_seed=True)
+    futs = [mb.submit(np.zeros((2, 2, 3), np.float32), 10 + i)
+            for i in range(3)]
+    for f in futs:
+        f.result(timeout=30)
+    assert len(seen) == 1
+    np.testing.assert_array_equal(seen[0], np.array([10, 11, 12, 12], np.uint32))
+
+
+def test_serve_per_sample_seed_reproducible_over_http(tmp_path):
+    """End-to-end reproducibility proof: with a --per-sample-seed fixed-batch
+    artifact, identical (image, seed) requests return byte-identical PNGs no
+    matter which concurrent batch they ride in (fixed batch shape = one XLA
+    program = bitwise), while different seeds on the same image differ —
+    the micro-batching determinism caveat is gone."""
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    net = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, jnp.array([1.0]))
+    sde = IRSDE.create(max_sigma=10.0, T=2, schedule="cosine", eps=0.005)
+    art = tmp_path / "psd2.irsdex"
+    art.write_bytes(exporting.export_restoration_sampler(
+        sde, net.apply, params, (16, 16), mode="posterior", batch=2,
+        platforms=("cpu",), per_sample_seed=True,
+    ))
+
+    env = dict(os.environ)
+    env["IRSDE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+         "--artifact", str(art), "--port", "0", "--window-ms", "200"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert line.startswith("serving on "), line + proc.stderr.read()
+        addr = line.strip().split()[-1]
+
+        with urllib.request.urlopen(f"http://{addr}/health", timeout=60) as r:
+            header = json.loads(r.read())
+        assert header["seed"] == "per_sample"
+        assert header["serving"]["seed_reproducible"] is True
+
+        rng = np.random.default_rng(0)
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), np.uint8)).save(
+            buf, format="PNG")
+        body = buf.getvalue()
+
+        def post_pair(seeds):
+            """Two concurrent requests -> one shared batch-2 device call."""
+            out = [None, None]
+
+            def post(i):
+                req = urllib.request.Request(
+                    f"http://{addr}/restore?seed={seeds[i]}", data=body,
+                    method="POST", headers={"Content-Type": "image/png"},
+                )
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    out[i] = r.read()
+
+            ts = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            return out
+
+        a = post_pair((7, 3))   # seed 7 rides with seed 3
+        b = post_pair((9, 7))   # seed 7 rides with seed 9, other position
+        assert a[0] == b[1], "same (image, seed) must be byte-identical " \
+                             "regardless of batch companion and position"
+        assert a[0] != a[1] and a[0] != b[0], "different seeds must differ"
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)

@@ -79,6 +79,14 @@ def main():
     parser.add_argument("--kernels", action="store_true",
                         help="keep pallas kernels in the artifact "
                              "(requires --batch >= gate and --platforms tpu)")
+    parser.add_argument("--per-sample-seed", action="store_true",
+                        help="export call(lq, seeds) with a uint32 (b,) seed "
+                             "VECTOR instead of one scalar: each sample's "
+                             "noise depends only on its own seed, so a "
+                             "micro-batching server (tools/serve.py) returns "
+                             "bit-identical results for identical "
+                             "(image, seed) requests regardless of what "
+                             "batch they ride in")
     parser.add_argument("--lens", type=float, nargs=3, default=None,
                         metavar=("SRC", "TGT", "DISPARITY"),
                         help="bokeh latent models only: bake these lens "
@@ -133,7 +141,8 @@ def main():
             task.latent_params, params, size,
             mode=task._mode, steps=steps, batch=batch, platforms=platforms,
             kernels=args.kernels, cast_params=cast, cond=lens,
-            sidecar=args.sidecar, meta=meta,
+            sidecar=args.sidecar, per_sample_seed=args.per_sample_seed,
+            meta=meta,
         )
     elif isinstance(task, GaussianDenoisingTask):
         data = exporting.export_denoising_sampler(
@@ -148,7 +157,7 @@ def main():
             task.latent_params, params, size,
             mode=task._mode, steps=steps, batch=batch, platforms=platforms,
             kernels=args.kernels, cast_params=cast, sidecar=args.sidecar,
-            meta=meta,
+            per_sample_seed=args.per_sample_seed, meta=meta,
         )
     elif isinstance(task, PixelDiffusionTask):
         mode = opt["sde"]["sampling_mode"] or "sde"
@@ -160,7 +169,8 @@ def main():
             task.sde, net.apply, params, size,
             mode=mode, steps=steps, channels=in_nc, batch=batch,
             platforms=platforms, kernels=args.kernels, cast_params=cast,
-            sidecar=args.sidecar, meta=meta,
+            sidecar=args.sidecar, per_sample_seed=args.per_sample_seed,
+            meta=meta,
         )
     else:
         raise SystemExit(
@@ -181,7 +191,9 @@ def main():
             jax.random.PRNGKey(0), (b, args.size, args.size,
                                     header.get("channels", 3)), jnp.float32
         )
-        out = np.asarray(call(lq, jnp.uint32(0)))
+        seed0 = (jnp.arange(b, dtype=jnp.uint32)
+                 if header.get("seed") == "per_sample" else jnp.uint32(0))
+        out = np.asarray(call(lq, seed0))
         assert out.shape[:1] == (b,) and np.isfinite(out).all(), "artifact check failed"
         print(f"check OK: {out.shape}, mean {out.mean():.4f}")
 

@@ -27,10 +27,15 @@ is *required* for fixed-batch artifacts (``--batch N`` exports), whose program
 only accepts exactly N images.  Fixed-batch artifacts are padded with replica
 rows when the window closes short; symbolic-batch artifacts round the batch
 up to the next power of two CLAMPED to ``--max-batch`` (the cap is hard, and
-at most log2(max_batch)+2 program variants ever compile).  The batch's PRNG
-seed is the first request's ``seed`` (each image still draws distinct noise
-by batch position); per-request seed is exactly reproducible only with
-``--max-batch 1`` (surfaced as ``serving.seed_reproducible`` in /health).
+at most log2(max_batch)+2 program variants ever compile).
+
+Seed semantics (surfaced as ``serving.seed_reproducible`` in /health):
+artifacts exported with ``--per-sample-seed`` take a seed VECTOR — every
+rider keeps its own seed, so identical (image, seed) requests return
+bit-identical results under any batching.  Legacy scalar-seed artifacts use
+the first rider's seed for the whole batch (each image still draws distinct
+noise by batch position); those are exactly reproducible only with
+``--max-batch 1``.
 
 ``--port 0`` binds an ephemeral port; the bound port is printed as
 ``serving on <host>:<port>`` (machine-parsable, used by the tests).
@@ -66,10 +71,15 @@ class MicroBatcher:
     """
 
     def __init__(self, call, *, fixed=None, max_batch=8, window_s=0.005,
-                 max_wait_s=None):
+                 max_wait_s=None, per_sample_seed=False):
         self.call = call
         self.fixed = int(fixed) if fixed else None
         self.max_batch = self.fixed or max(1, int(max_batch))
+        # per-sample-seed artifacts (header seed == "per_sample") take a
+        # uint32 (b,) seed vector: every rider keeps its OWN seed, so
+        # identical (image, seed) requests are bit-reproducible no matter
+        # what batch they share (exporting.py per_sample_seed)
+        self.per_sample_seed = bool(per_sample_seed)
         self.window_s = float(window_s)
         # latency knob: hard cap on how long a request can sit in the
         # collection queue — when exceeded, a PARTIAL batch dispatches even
@@ -142,7 +152,15 @@ class MicroBatcher:
                         pass
             try:
                 xs = self._assemble(items)
-                out = self.call(jnp.asarray(xs), jnp.uint32(items[0][1]))
+                if self.per_sample_seed:
+                    seeds = np.array([it[1] for it in items], np.uint32)
+                    if len(seeds) < len(xs):  # pad rows reuse the last seed
+                        seeds = np.concatenate([seeds, np.full(
+                            len(xs) - len(seeds), seeds[-1], np.uint32)])
+                    seed_arg = jnp.asarray(seeds)
+                else:
+                    seed_arg = jnp.uint32(items[0][1])
+                out = self.call(jnp.asarray(xs), seed_arg)
                 with self._lock:
                     self._inflight += 1
                 self._done_q.put((items, out))  # not yet synchronized
@@ -211,9 +229,11 @@ def build_handler(call, header, *, max_batch=8, window_ms=5.0,
     channels = header.get("channels", 3)
     fixed = header.get("batch")
     fixed = fixed if isinstance(fixed, int) else None
+    seed_kind = header.get("seed", "scalar")
     batcher = MicroBatcher(
         call, fixed=fixed, max_batch=max_batch, window_s=window_ms / 1000.0,
         max_wait_s=None if max_wait_ms is None else max_wait_ms / 1000.0,
+        per_sample_seed=seed_kind == "per_sample",
     )
     info = dict(header)
     info["serving"] = {
@@ -221,11 +241,14 @@ def build_handler(call, header, *, max_batch=8, window_ms=5.0,
         "window_ms": float(window_ms),
         "max_wait_ms": None if max_wait_ms is None else float(max_wait_ms),
         "fixed_batch": batcher.fixed,
-        # micro-batching caveat: the batch PRNG seed is the first rider's,
-        # and a request's noise depends on its batch position — identical
-        # request+seed is bit-reproducible only when batches are never
-        # shared (run with --max-batch 1 for a deterministic server)
-        "seed_reproducible": batcher.max_batch == 1,
+        # "per_sample"-seed artifacts carry each rider's own seed, so
+        # request+seed is bit-reproducible under any batching; legacy
+        # scalar-seed artifacts use the first rider's seed for the batch
+        # and a request's noise depends on its batch position — those are
+        # reproducible only when batches are never shared (--max-batch 1).
+        # "ignored" = deterministic sampler (reverse ODE), trivially so.
+        "seed_reproducible": seed_kind in ("per_sample", "ignored")
+        or batcher.max_batch == 1,
     }
 
     def restore(img: np.ndarray, seed: int) -> np.ndarray:
@@ -337,8 +360,10 @@ def main():
 
     H, W = header["size"]
     b = header["batch"] if isinstance(header.get("batch"), int) else args.max_batch
+    seed0 = (jnp.zeros((b,), jnp.uint32)
+             if header.get("seed") == "per_sample" else jnp.uint32(0))
     np.asarray(call(jnp.zeros((b, H, W, header.get("channels", 3)), jnp.float32),
-                    jnp.uint32(0)))
+                    seed0))
 
     class Server(ThreadingHTTPServer):
         daemon_threads = True
