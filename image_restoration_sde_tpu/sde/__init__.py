@@ -1,7 +1,7 @@
 from .schedules import make_theta_schedule, ScheduleTables, build_tables
 from .irsde import IRSDE
 from .denoising_sde import DenoisingSDE
-from . import samplers
+from . import rng, samplers
 
 __all__ = [
     "make_theta_schedule",
@@ -9,5 +9,6 @@ __all__ = [
     "build_tables",
     "IRSDE",
     "DenoisingSDE",
+    "rng",
     "samplers",
 ]
